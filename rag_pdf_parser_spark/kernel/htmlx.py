@@ -1,0 +1,490 @@
+"""HTML main-content extraction kernel (pure Python, stdlib only).
+
+This is the engine's analog of the reference's page→blocks layout parse
+(/root/reference/src/layout/base_parser.py:17-88 interface;
+/root/reference/src/layout/qwen_parser.py:242-268 block emission) re-targeted
+at HTML per the north rule: link-density + text-density boilerplate stripping
+(Readability/trafilatura-style rules), typed block emission with reading
+order, span offsets, markdown rendering, and deterministic charset decoding.
+
+Output block schema mirrors the reference's IRBlock
+(/root/reference/src/models/block.py:25-60):
+``(page, block_id, type, reading_order, text, markdown, lang, span_start,
+span_end, anchor, content_hash)`` with pixel bboxes replaced by character
+span offsets into the assembled document text (FIXTURES.md §2).
+
+Everything is deterministic: stdlib ``html.parser`` (no version-floating
+third-party parser), fixed charset-sniff policy, stable ordering.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+from dataclasses import dataclass, field
+from html.parser import HTMLParser
+from typing import Optional
+
+from .lang import detect_language
+from .pagemerge import merge_kind
+
+# --- constants ---------------------------------------------------------------
+
+# Subtrees never contributing content (chrome / non-text).
+DROP_TAGS = frozenset(
+    "script style noscript template svg head nav aside form button select "
+    "option iframe object embed canvas audio video map area".split()
+)
+# Page chrome containers stripped entirely (reference marks header/footer
+# block types as boilerplate, src/processing/ir_processor.py:36-39).
+CHROME_TAGS = frozenset("header footer".split())
+
+# Elements that open a candidate content block.
+BLOCK_TAGS = frozenset(
+    "h1 h2 h3 h4 h5 h6 p table figure pre blockquote ul ol".split()
+)
+
+VOID_TAGS = frozenset(
+    "br hr img input meta link base col wbr source track param".split()
+)
+
+# Max link-text density for a text block to survive boilerplate stripping.
+MAX_LINK_DENSITY = 0.5
+# Minimum visible characters for a text block to be emitted.
+MIN_TEXT_CHARS = 3
+# Hard cap on html size; larger inputs are truncated and flagged (SURVEY §7.4.5).
+MAX_HTML_BYTES = 2_000_000
+
+# Anchor abbreviations, reference /root/reference/src/models/block.py:62-70.
+TYPE_ABBREV = {
+    "text": "txt",
+    "title": "ttl",
+    "section_header": "sec",
+    "table": "tbl",
+    "figure": "fig",
+    "chart": "cht",
+    "formula": "eq",
+    "picture": "fig",
+}
+
+_WS_RE = re.compile(r"\s+")
+_CHARSET_RE = re.compile(rb"charset\s*=\s*[\"']?([A-Za-z0-9_\-]+)")
+_FORMULA_RE = re.compile(r"^\$\$.*\$\$$", re.S)
+
+_CHARSET_ALIASES = {
+    "utf-8": "utf-8",
+    "utf8": "utf-8",
+    "euc-kr": "euc-kr",
+    "euckr": "euc-kr",
+    "ks_c_5601-1987": "euc-kr",
+    "iso-8859-1": "latin-1",
+    "latin-1": "latin-1",
+    "latin1": "latin-1",
+    "windows-1252": "cp1252",
+    "cp1252": "cp1252",
+    "ascii": "ascii",
+    "us-ascii": "ascii",
+    "gb2312": "gb2312",
+    "gbk": "gbk",
+    "shift_jis": "shift_jis",
+    "big5": "big5",
+}
+
+
+def norm_ws(s: str) -> str:
+    return _WS_RE.sub(" ", s).strip()
+
+
+def anchor_for(page: int, btype: str, order: int) -> str:
+    """[@p{page}_{abbrev}{order}] per /root/reference/src/models/block.py:62-70."""
+    abbrev = TYPE_ABBREV.get(btype.lower(), btype[:3])
+    return f"[@p{page}_{abbrev}{order}]"
+
+
+def content_hash(text: str) -> str:
+    """sha256[:12], reference /root/reference/src/models/chunk.py:86-88."""
+    return hashlib.sha256(text.encode("utf-8")).hexdigest()[:12]
+
+
+def doc_id_for(html: bytes) -> str:
+    """sha256[:16] of source bytes, /root/reference/src/models/block.py:226-230."""
+    return hashlib.sha256(html).hexdigest()[:16]
+
+
+# --- charset decode ----------------------------------------------------------
+
+def decode_html(raw: Optional[bytes]) -> tuple[str, str, Optional[str]]:
+    """Deterministically decode page bytes.
+
+    Policy (fixed, recorded per row — SURVEY.md §7.4.4): sniff ``charset=``
+    in the first 2048 bytes; normalize through a fixed alias table; unknown
+    or missing declarations fall back to utf-8; always ``errors='replace'``.
+
+    Returns (text, charset_used, failure_code_or_None).
+    """
+    if raw is None or len(raw) == 0:
+        return "", "utf-8", "EMPTY_HTML"
+    failure = None
+    if len(raw) > MAX_HTML_BYTES:
+        raw = raw[:MAX_HTML_BYTES]
+        failure = "OVERSIZE_TRUNCATED"
+    m = _CHARSET_RE.search(raw[:2048])
+    charset = "utf-8"
+    if m:
+        declared = m.group(1).decode("ascii", "replace").lower()
+        charset = _CHARSET_ALIASES.get(declared, "utf-8")
+    try:
+        text = raw.decode(charset, errors="replace")
+    except LookupError:  # codec missing in this runtime
+        charset = "utf-8"
+        text = raw.decode(charset, errors="replace")
+    return text, charset, failure
+
+
+# --- DOM ---------------------------------------------------------------------
+
+@dataclass
+class _Node:
+    tag: str
+    attrs: dict
+    children: list = field(default_factory=list)  # _Node | str
+
+    def own_text_parts(self) -> list[str]:
+        out: list[str] = []
+        for c in self.children:
+            if isinstance(c, str):
+                out.append(c)
+            elif c.tag not in DROP_TAGS:
+                out.extend(c.own_text_parts())
+        return out
+
+    def text(self) -> str:
+        return norm_ws("".join(self.own_text_parts()))
+
+    def link_chars(self) -> int:
+        n = 0
+        for c in self.children:
+            if isinstance(c, str):
+                continue
+            if c.tag == "a":
+                n += len(c.text())
+            elif c.tag not in DROP_TAGS:
+                n += c.link_chars()
+        return n
+
+    def find_all(self, tag: str) -> list["_Node"]:
+        out = []
+        for c in self.children:
+            if isinstance(c, str):
+                continue
+            if c.tag == tag:
+                out.append(c)
+            out.extend(c.find_all(tag))
+        return out
+
+    def first(self, tag: str) -> Optional["_Node"]:
+        for c in self.children:
+            if isinstance(c, str):
+                continue
+            if c.tag == tag:
+                return c
+            got = c.first(tag)
+            if got is not None:
+                return got
+        return None
+
+
+class _TreeBuilder(HTMLParser):
+    """Forgiving tree builder over stdlib HTMLParser (convert_charrefs=True,
+    so entities arrive decoded)."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.root = _Node("document", {})
+        self.stack = [self.root]
+
+    def handle_starttag(self, tag, attrs):
+        node = _Node(tag, dict(attrs))
+        self.stack[-1].children.append(node)
+        if tag not in VOID_TAGS:
+            self.stack.append(node)
+
+    def handle_startendtag(self, tag, attrs):
+        self.stack[-1].children.append(_Node(tag, dict(attrs)))
+
+    def handle_endtag(self, tag):
+        # close the nearest matching open tag (forgiving recovery)
+        for i in range(len(self.stack) - 1, 0, -1):
+            if self.stack[i].tag == tag:
+                del self.stack[i:]
+                break
+
+    def handle_data(self, data):
+        if data:
+            self.stack[-1].children.append(data)
+
+
+def parse_tree(html_text: str) -> _Node:
+    b = _TreeBuilder()
+    b.feed(html_text)
+    b.close()
+    return b.root
+
+
+# --- table / figure rendering ------------------------------------------------
+
+def _table_rows(table: _Node) -> list[list[str]]:
+    """Collect cell texts row-wise, honoring colspan padding
+    (semantics of /root/reference/src/output/writer.py:337-395)."""
+    rows: list[list[str]] = []
+    for tr in table.find_all("tr"):
+        cells: list[str] = []
+        for c in tr.children:
+            if isinstance(c, str) or c.tag not in ("td", "th"):
+                continue
+            txt = c.text()
+            cells.append(txt)
+            try:
+                span = int(c.attrs.get("colspan", "1"))
+            except ValueError:
+                span = 1
+            cells.extend("" for _ in range(max(0, span - 1)))
+        if cells:
+            rows.append(cells)
+    return rows
+
+
+def table_markdown(table: _Node) -> str:
+    """Markdown table: header row + --- separator, rows padded to header
+    width (reference writer.py:337-395 behavior)."""
+    rows = _table_rows(table)
+    if not rows:
+        return ""
+    width = len(rows[0])
+    header = rows[0] + [""] * 0
+    lines = ["| " + " | ".join(header) + " |",
+             "| " + " | ".join(["---"] * width) + " |"]
+    for r in rows[1:]:
+        r = (r + [""] * width)[:width]
+        lines.append("| " + " | ".join(r) + " |")
+    return "\n".join(lines)
+
+
+def table_text(table: _Node) -> str:
+    """Plain-text table: cells joined ' | ', one line per row
+    (/root/reference/src/layout/qwen_parser.py:525-533 semantics)."""
+    rows = _table_rows(table)
+    return "\n".join(" | ".join(r) for r in rows)
+
+
+# --- block extraction ----------------------------------------------------------
+
+def _render_markdown(btype: str, text: str, extra: dict) -> str:
+    """Type-dispatched markdown, reference ir_processor.py:341-384 semantics:
+    title→'# ', section_header→'## ', caption italic, figure/chart tagged."""
+    if btype == "title":
+        return f"# {text}"
+    if btype == "section_header":
+        return f"## {text}"
+    if btype == "caption":
+        return f"*{text}*"
+    if btype == "table":
+        return extra.get("table_md", text)
+    if btype == "figure":
+        src = extra.get("src", "")
+        cap = extra.get("caption", "")
+        md = f"![figure]({src})" if src else "[Figure]"
+        if cap:
+            md += f"\n\n*{cap}*"
+        return md
+    if btype == "formula":
+        return text
+    return text
+
+
+def _emit_blocks(body: _Node, page_of: dict[int, int]) -> list[dict]:
+    """Walk the DOM in document order emitting typed candidate blocks.
+
+    Boilerplate rules (Readability/trafilatura-style, fixed constants):
+    - DROP_TAGS / CHROME_TAGS subtrees are skipped entirely;
+    - a text-ish block survives only if link_density <= MAX_LINK_DENSITY;
+    - empty / sub-minimum text is skipped.
+    """
+    blocks: list[dict] = []
+    seen_h1 = False
+
+    def visit(node: _Node, page: int) -> None:
+        nonlocal seen_h1
+        for c in node.children:
+            if isinstance(c, str):
+                continue
+            if c.tag in DROP_TAGS or c.tag in CHROME_TAGS:
+                continue
+            # page wrapper: <div class="page"> increments the page counter
+            if c.tag == "div" and "page" in (c.attrs.get("class") or "").split():
+                page_of["n"] = page_of.get("n", 0) + 1
+                visit(c, page_of["n"])
+                continue
+            if c.tag in BLOCK_TAGS:
+                blk = _block_from(c, page)
+                if blk is not None:
+                    if blk["type"] == "title":
+                        if seen_h1:
+                            blk["type"] = "section_header"
+                        seen_h1 = True
+                    blocks.append(blk)
+                continue  # block tags are terminal: no nested block emission
+            visit(c, page)
+
+    visit(body, 1 if not page_of.get("n") else page_of["n"])
+    return blocks
+
+
+def _block_from(node: _Node, page: int) -> Optional[dict]:
+    tag = node.tag
+    extra: dict = {}
+    if tag == "h1":
+        btype = "title"
+        text = node.text()
+    elif tag in ("h2", "h3", "h4", "h5", "h6"):
+        btype = "section_header"
+        text = node.text()
+    elif tag == "table":
+        btype = "table"
+        text = table_text(node)
+        extra["table_md"] = table_markdown(node)
+    elif tag == "figure":
+        btype = "figure"
+        img = node.first("img")
+        cap = node.first("figcaption")
+        extra["src"] = (img.attrs.get("src", "") if img is not None else "")
+        extra["caption"] = cap.text() if cap is not None else ""
+        alt = img.attrs.get("alt", "") if img is not None else ""
+        text = extra["caption"] or norm_ws(alt)
+    elif tag == "pre":
+        raw = node.text()
+        btype = "formula" if _FORMULA_RE.match(raw) else "text"
+        text = raw
+    elif tag in ("ul", "ol"):
+        btype = "text"
+        items = [li.text() for li in node.find_all("li")]
+        items = [i for i in items if i]
+        text = "\n".join(f"- {i}" for i in items)
+        # boilerplate: menu lists are link-dominated
+        total = sum(len(i) for i in items)
+        if total == 0:
+            return None
+        if node.link_chars() / max(1, len(node.text())) > MAX_LINK_DENSITY:
+            return None
+    else:  # p, blockquote
+        btype = "text"
+        text = node.text()
+        if len(text) >= MIN_TEXT_CHARS:
+            if node.link_chars() / max(1, len(node.text())) > MAX_LINK_DENSITY:
+                return None
+    if not text or len(text) < MIN_TEXT_CHARS:
+        return None
+    return {"type": btype, "text": text, "page": page, "extra": extra}
+
+
+# --- document assembly ---------------------------------------------------------
+
+def assemble_text(blocks: list[dict]) -> str:
+    """Join block texts in reading order with '\\n\\n' (the reference's chunk
+    merge separator, /root/reference/src/processing/chunking.py:154), applying
+    the deterministic page-boundary merge rule (kernel.pagemerge) between
+    consecutive blocks that straddle a page break."""
+    out = ""
+    prev_page: Optional[int] = None
+    for b in blocks:
+        t = b["text"]
+        if not t:
+            continue
+        if not out:
+            out = t
+        else:
+            kind = None
+            if prev_page is not None and b["page"] == prev_page + 1:
+                kind = merge_kind(out[-8:], t[:8])
+            if kind == "hyphen":
+                out = out[:-1] + t
+            elif kind == "space":
+                out = out + " " + t
+            else:
+                out = out + "\n\n" + t
+        prev_page = b["page"]
+    return out
+
+
+def extract_document(raw: Optional[bytes]) -> dict:
+    """Full per-document extraction: bytes → typed blocks + assembled text.
+
+    Returns a plain dict (Arrow/JSON-friendly):
+      doc_id, charset, failure_code, title, n_pages, extracted_text,
+      blocks: list[dict(page, block_id, type, reading_order, text, markdown,
+                        lang, span_start, span_end, anchor, content_hash)]
+    """
+    raw = bytes(raw) if raw is not None else b""
+    doc_id = doc_id_for(raw)
+    text, charset, failure = decode_html(raw)
+    blocks_raw: list[dict] = []
+    if failure != "EMPTY_HTML" and text:
+        try:
+            tree = parse_tree(text)
+            body = tree.first("body") or tree
+            page_counter: dict[int, int] = {}
+            blocks_raw = _emit_blocks(body, page_counter)
+        except Exception:  # noqa: BLE001 — any parse blowup becomes a failure code
+            failure = failure or "PARSE_ERROR"
+            blocks_raw = []
+    if not blocks_raw and failure is None:
+        failure = "NO_CONTENT"
+
+    # reading order + per-page block ids (block_id 'p{page}_b{order}' per
+    # /root/reference/src/models/block.py:28)
+    per_page_counter: dict[int, int] = {}
+    blocks: list[dict] = []
+    extracted = assemble_text(blocks_raw)
+    cursor = 0
+    for order, b in enumerate(blocks_raw):
+        page = b["page"]
+        per_page_counter[page] = per_page_counter.get(page, 0)
+        bid = f"p{page}_b{per_page_counter[page]}"
+        per_page_counter[page] += 1
+        btext = b["text"]
+        # span offsets into the assembled extracted_text; merges can alter
+        # the hyphenated tail, so search from cursor for robustness.
+        start = extracted.find(btext, max(0, cursor - 2))
+        if start < 0:
+            start = extracted.find(btext[: max(1, len(btext) // 2)], max(0, cursor - 2))
+        if start < 0:
+            start = cursor
+        end = min(len(extracted), start + len(btext))
+        cursor = end
+        blocks.append(
+            {
+                "page": page,
+                "block_id": bid,
+                "type": b["type"],
+                "reading_order": order,
+                "text": btext,
+                "markdown": _render_markdown(b["type"], btext, b["extra"]),
+                "lang": detect_language(btext),
+                "span_start": start,
+                "span_end": end,
+                "anchor": anchor_for(page, b["type"], order),
+                "content_hash": content_hash(btext),
+            }
+        )
+
+    title = next((b["text"] for b in blocks if b["type"] == "title"), None)
+    n_pages = max((b["page"] for b in blocks), default=1)
+    return {
+        "doc_id": doc_id,
+        "charset": charset,
+        "failure_code": failure,
+        "title": title,
+        "n_pages": n_pages,
+        "extracted_text": extracted,
+        "blocks": blocks,
+    }
