@@ -1,0 +1,205 @@
+"""Native Spark Column expressions for the engine's scalar semantics.
+
+Every function here is pure `pyspark.sql.functions` composition — JVM-side,
+whole-stage-codegen'd, zero Python on the hot path. Each mirrors a kernel
+function (unit-tested equal) and a reference behavior (cited).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Unicode classes (exact reference ranges, extractor.py:358-387 /
+# chunk.py:102-108)
+HANGUL_CLASS = "[\uac00-\ud7af]"
+CJK_CLASS = "[\u4e00-\u9fff]"
+CJK_TOKEN_CLASS = "[\u4e00-\u9fff\uac00-\ud7af\u3040-\u309f\u30a0-\u30ff]"
+
+
+def _count_class(col: Column, cls: str) -> Column:
+    return F.length(col) - F.length(F.regexp_replace(col, cls, ""))
+
+
+def lang_expr(col: Column) -> Column:
+    """Char-class language detection — reference
+    /root/reference/src/text/extractor.py:358-387 semantics, as a pure
+    expression (SURVEY §2.4 A4). Kernel twin: kernel.lang.detect_language."""
+    korean = _count_class(col, HANGUL_CLASS)
+    chinese = _count_class(col, CJK_CLASS)
+    ascii_alpha = _count_class(col, "[A-Za-z]")
+    total = (korean + chinese + ascii_alpha).cast("double")
+    return (
+        F.when(col.isNull() | (F.length(col) == 0), F.lit("unknown"))
+        .when(total == 0, F.lit("unknown"))
+        .when(korean / total > 0.3, F.lit("ko"))
+        .when(chinese / total > 0.3, F.lit("zh"))
+        .when(ascii_alpha / total > 0.5, F.lit("en"))
+        .otherwise(F.lit("unknown"))
+    )
+
+
+def token_estimate_expr(col: Column) -> Column:
+    """Token estimator — /root/reference/src/models/chunk.py:92-108:
+    int(cjk/1.5 + other/4). Kernel twin: kernel.tokens.estimate_tokens."""
+    cjk = _count_class(col, CJK_TOKEN_CLASS).cast("double")
+    other = F.length(col).cast("double") - cjk
+    return F.floor(cjk / 1.5 + other / 4.0).cast("int")
+
+
+def anchor_expr(page: Column, btype: Column, order: Column) -> Column:
+    """Citation anchor '[@p{page}_{abbrev}{order}]' —
+    /root/reference/src/models/block.py:62-70 (8-entry map, fallback
+    type[:3])."""
+    abbrev = (
+        F.when(btype == "text", F.lit("txt"))
+        .when(btype == "title", F.lit("ttl"))
+        .when(btype == "section_header", F.lit("sec"))
+        .when(btype == "table", F.lit("tbl"))
+        .when(btype == "figure", F.lit("fig"))
+        .when(btype == "chart", F.lit("cht"))
+        .when(btype == "formula", F.lit("eq"))
+        .when(btype == "picture", F.lit("fig"))
+        .otherwise(F.substring(btype, 1, 3))
+    )
+    return F.format_string("[@p%d_%s%d]", page, abbrev, order)
+
+
+def doc_id_expr(html: Column) -> Column:
+    """sha256[:16] of source bytes — block.py:226-230."""
+    return F.substring(F.sha2(html, 256), 1, 16)
+
+
+def content_hash_expr(text: Column) -> Column:
+    """sha256[:12] of text — chunk.py:86-88 (D5)."""
+    return F.substring(F.sha2(text, 256), 1, 12)
+
+
+def normalized_text_expr(text: Column) -> Column:
+    """Lowercase + whitespace-collapse + trim — deduplicator.py:79-83 (D2)."""
+    return F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
+
+
+def normalized_text_hash_expr(text: Column) -> Column:
+    return F.sha2(normalized_text_expr(text), 256)
+
+
+def url_normalize_expr(url: Column) -> Column:
+    """Lowercase, drop query string, strip trailing '/' —
+    deduplicator.py:103-112 (D4)."""
+    return F.regexp_replace(
+        F.regexp_replace(F.lower(url), r"[?].*$", ""), r"/+$", ""
+    )
+
+
+def markdown_expr(btype: Column, text: Column) -> Column:
+    """Type-dispatched markdown — ir_processor.py:341-362 (X2) for the
+    text-like types (tables/figures render inside the extraction kernel)."""
+    return (
+        F.when(btype == "title", F.concat(F.lit("# "), text))
+        .when(btype == "section_header", F.concat(F.lit("## "), text))
+        .when(btype == "caption", F.concat(F.lit("*"), text, F.lit("*")))
+        .otherwise(text)
+    )
+
+
+def char_ngrams_expr(text: Column, n: int = 5) -> Column:
+    """Distinct character n-gram shingles of the normalized text (for
+    MinHash / Jaccard). Pure expression: sequence + transform + substring."""
+    norm = normalized_text_expr(text)
+    idx = F.sequence(F.lit(1), F.greatest(F.length(norm) - (n - 1), F.lit(1)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.substring(norm, i, n))
+    )
+
+
+def minhash_sha_expr(shingles: Column, perm: int) -> Column:
+    """One MinHash signature component: lexicographic min of
+    sha256(shingle || '#' || perm) over the shingle set. Using a cryptographic
+    hash keeps the signature engine-portable (identical in DuckDB oracles);
+    the throughput path uses xxhash64 instead (operators.dedup)."""
+    return F.array_min(
+        F.transform(
+            shingles, lambda s: F.sha2(F.concat(s, F.lit(f"#{perm}")), 256)
+        )
+    )
+
+
+def quality_features_expr(text: Column) -> dict[str, Column]:
+    """Deterministic text-quality features (training-data pipeline op):
+    length, alpha/digit/punct/space ratios, mean word length, stopword hits."""
+    length = F.length(text).cast("double")
+    safe_len = F.greatest(length, F.lit(1.0))
+    alpha = _count_class(text, "[A-Za-z]").cast("double")
+    digit = _count_class(text, "[0-9]").cast("double")
+    punct = _count_class(text, r"[\.,;:!?'\"()\[\]{}-]").cast("double")
+    spaces = _count_class(text, "[ ]").cast("double")
+    n_words = F.size(F.split(F.trim(text), r"\s+")).cast("double")
+    stop_hits = (
+        F.size(
+            F.filter(
+                F.split(F.lower(text), r"\s+"),
+                lambda w: w.isin("the", "a", "an", "and", "or", "of", "to",
+                                 "in", "is", "that"),
+            )
+        ).cast("double")
+    )
+    return {
+        "n_chars": length.cast("long"),
+        "n_words": n_words.cast("long"),
+        "alpha_ratio": F.round(alpha / safe_len, 6),
+        "digit_ratio": F.round(digit / safe_len, 6),
+        "punct_ratio": F.round(punct / safe_len, 6),
+        "space_ratio": F.round(spaces / safe_len, 6),
+        "mean_word_len": F.round((length - spaces) / F.greatest(n_words, F.lit(1.0)), 6),
+        "stopword_ratio": F.round(stop_hits / F.greatest(n_words, F.lit(1.0)), 6),
+    }
+
+
+def quality_score_expr(text: Column) -> Column:
+    """Composite quality score in [0,1]: rewards alpha-dominant, stopword-
+    bearing, moderately long text; penalizes digit/punct noise. Fixed
+    weights, fully deterministic."""
+    f = quality_features_expr(text)
+    length_score = F.least(f["n_chars"].cast("double") / 500.0, F.lit(1.0))
+    score = (
+        0.35 * f["alpha_ratio"]
+        + 0.25 * F.least(f["stopword_ratio"] * 3.0, F.lit(1.0))
+        + 0.25 * length_score
+        - 0.10 * f["digit_ratio"]
+        - 0.05 * f["punct_ratio"]
+    )
+    return F.round(F.greatest(F.least(score, F.lit(1.0)), F.lit(0.0)), 6)
+
+
+def fingerprint_expr(text: Column, prefix_len: int = 128) -> Column:
+    """Polynomial rolling-hash document fingerprint over the first
+    `prefix_len` chars of the ASCII-projected normalized text:
+    acc = (acc*31 + code) mod 1_000_000_007. Engine-portable (same arithmetic
+    in the DuckDB oracle)."""
+    ascii_text = F.substring(
+        F.regexp_replace(normalized_text_expr(text), "[^ -~]", ""), 1, prefix_len
+    )
+    chars = F.split(ascii_text, "")
+    return F.aggregate(
+        F.filter(chars, lambda c: F.length(c) > 0),
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * 31 + F.ascii(c)) % F.lit(1_000_000_007).cast("long"),
+    )
+
+
+def cosine_expr(a: Column, b: Column) -> Column:
+    """Cosine similarity between two float arrays via zip_with + aggregate —
+    JVM-side, no UDF (similarity-search baseline)."""
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    na = F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double"))
+    )
+    nb = F.sqrt(
+        F.aggregate(b, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double"))
+    )
+    return dot / (na * nb)

@@ -1,0 +1,75 @@
+"""Extraction stage: pages → documents(blocks nested) → blocks (exploded).
+
+Spark-first layout of the reference's per-file loop (SURVEY §3.1):
+the entire per-document pipeline (charset decode → DOM parse → boilerplate
+strip → typed blocks → reading order → markdown → page-merge assembly) runs
+inside ONE `mapInPandas` stage calling the pure-Python kernel
+(`rag_pdf_parser_spark.kernel.htmlx.extract_document`) per row of each Arrow
+batch — per-document imperative work is the one thing Spark built-ins cannot
+express (reference analog: ir_processor.py:96-264), and batching it through
+Arrow amortizes all serde.
+
+Scale design:
+- **skew defusal**: upstream `repartition(n, xxhash64(url))` spreads hot
+  hosts uniformly (north_rule; a host's pages share templates and can be
+  enormous) — the extraction cost is per-row, so uniform row spread = uniform
+  work;
+- per-row size cap inside the kernel (MAX_HTML_BYTES, OVERSIZE_TRUNCATED
+  failure code) bounds worst-case memory per task;
+- everything downstream of this stage is native Spark (no Python).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..kernel.htmlx import extract_document
+from ..schema import DOCS_SCHEMA
+
+_DOC_COLS = [f.name for f in DOCS_SCHEMA.fields]
+
+
+def _extract_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in it:
+        rows = []
+        for url, html in zip(pdf["url"].tolist(), pdf["html"].tolist()):
+            raw = bytes(html) if html is not None else b""
+            d = extract_document(raw)
+            rows.append(
+                (
+                    url,
+                    d["doc_id"],
+                    d["charset"],
+                    d["failure_code"],
+                    d["title"],
+                    d["n_pages"],
+                    d["extracted_text"],
+                    len(raw),
+                    d["blocks"],
+                )
+            )
+        yield pd.DataFrame(rows, columns=_DOC_COLS)
+
+
+def extract_docs(pages: DataFrame, partitions: int | None = None) -> DataFrame:
+    """pages(url, html, ...) → docs per DOCS_SCHEMA (blocks nested).
+
+    `partitions`: salted-repartition width before the UDF; defaults to the
+    session's shuffle partitions. At cluster scale this is ~2-3× total cores.
+    """
+    n = partitions or int(pages.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    src = pages.select("url", "html").repartition(n, F.xxhash64("url"))
+    return src.mapInPandas(_extract_batches, DOCS_SCHEMA)
+
+
+def explode_blocks(docs: DataFrame) -> DataFrame:
+    """docs → flat blocks table keyed (doc_id, page, block_id) — the
+    reference's IRBlock list materialized relationally (SURVEY §2.1 S3)."""
+    return (
+        docs.select("url", "doc_id", F.explode("blocks").alias("b"))
+        .select("url", "doc_id", "b.*")
+    )

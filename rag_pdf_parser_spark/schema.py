@@ -1,0 +1,101 @@
+"""Fixed StructType schemas for every engine table (schema-on-write, no inference).
+
+Mirrors the reference's dataclass-defined records (SURVEY.md §1):
+IRBlock (/root/reference/src/models/block.py:25-60) → BLOCK_STRUCT with pixel
+bboxes replaced by character span offsets; IRChunk
+(/root/reference/src/models/chunk.py:13-88) → CHUNK_SCHEMA; the input_hint
+pages table; and the per-partition manifest (resume/lineage, SURVEY §2.1 K7).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import types as T
+
+# BASELINE.json input_hint: (url, warc_ts, html, text, lang)
+PAGES_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("warc_ts", T.TimestampType(), True),
+        T.StructField("html", T.BinaryType(), True),
+        T.StructField("text", T.StringType(), True),
+        T.StructField("lang", T.StringType(), True),
+    ]
+)
+
+# One extracted block — IRBlock analog (block.py:25-60), spans not bboxes.
+BLOCK_STRUCT = T.StructType(
+    [
+        T.StructField("page", T.IntegerType(), False),
+        T.StructField("block_id", T.StringType(), False),
+        T.StructField("type", T.StringType(), False),
+        T.StructField("reading_order", T.IntegerType(), False),
+        T.StructField("text", T.StringType(), True),
+        T.StructField("markdown", T.StringType(), True),
+        T.StructField("lang", T.StringType(), True),
+        T.StructField("span_start", T.LongType(), True),
+        T.StructField("span_end", T.LongType(), True),
+        T.StructField("anchor", T.StringType(), True),
+        T.StructField("content_hash", T.StringType(), True),
+    ]
+)
+
+# Extraction output: one row per document, blocks nested (exploded downstream).
+DOCS_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("charset", T.StringType(), True),
+        T.StructField("failure_code", T.StringType(), True),
+        T.StructField("title", T.StringType(), True),
+        T.StructField("n_pages", T.IntegerType(), False),
+        T.StructField("extracted_text", T.StringType(), True),
+        T.StructField("bytes_in", T.LongType(), False),
+        T.StructField("blocks", T.ArrayType(BLOCK_STRUCT), False),
+    ]
+)
+
+# Flat blocks table (post-explode), keyed (doc_id, page, block_id).
+BLOCKS_FLAT_SCHEMA = T.StructType(
+    [T.StructField("url", T.StringType(), False),
+     T.StructField("doc_id", T.StringType(), False)]
+    + BLOCK_STRUCT.fields
+)
+
+# IRChunk analog (chunk.py:13-88); page_range → two ints (SURVEY §1.1).
+CHUNKS_SCHEMA = T.StructType(
+    [
+        T.StructField("chunk_id", T.StringType(), False),
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("page_start", T.IntegerType(), False),
+        T.StructField("page_end", T.IntegerType(), False),
+        T.StructField("block_ids", T.ArrayType(T.StringType()), False),
+        T.StructField("section", T.StringType(), True),
+        T.StructField("text", T.StringType(), False),
+        T.StructField("token_count", T.IntegerType(), False),
+        T.StructField("char_count", T.IntegerType(), False),
+        T.StructField("reading_order_start", T.IntegerType(), False),
+        T.StructField("reading_order_end", T.IntegerType(), False),
+        T.StructField("anchors", T.ArrayType(T.StringType()), False),
+    ]
+)
+
+# Per-partition lineage manifest (north_rule resume mechanism; FIXTURES §6).
+MANIFEST_SCHEMA = T.StructType(
+    [
+        T.StructField("run_id", T.StringType(), False),
+        T.StructField("partition_id", T.IntegerType(), False),
+        T.StructField("url", T.StringType(), False),
+        T.StructField("bytes_in", T.LongType(), False),
+        T.StructField("bytes_out", T.LongType(), False),
+        T.StructField("failure_code", T.StringType(), True),
+    ]
+)
+
+# Dedup registry (deduplicator.py:45-59 JSON dict → a real table; FIXTURES §5).
+SEEN_HASHES_SCHEMA = T.StructType(
+    [
+        T.StructField("hash", T.StringType(), False),
+        T.StructField("kind", T.StringType(), False),
+        T.StructField("source", T.StringType(), True),
+    ]
+)
