@@ -1,0 +1,181 @@
+"""Deduplication suite — exact, normalized, MinHash+LSH, SimHash, Jaccard.
+
+The reference's dedup is a JSON dict of seen hashes with four namespaces
+(deduplicator.py:45-141); at engine scale each variant becomes a relational
+op (SURVEY §2.6 D1-D6 plus the training-data near-dup family):
+
+- exact (D1): sha256 of bytes → dropDuplicates / left-anti vs seen_hashes;
+- normalized text (D2): sha256 of lower+ws-collapsed text;
+- MinHash+LSH: char-shingles → k min-hashes → banded signatures →
+  bucket-join → candidate pairs. Two hash flavors:
+    * `sha` — engine-portable (identical in the DuckDB oracle),
+    * `xx`  — xxhash64, JVM codegen, the throughput path at scale;
+- SimHash: per-token hash bits, weighted majority per bit position;
+- n-gram Jaccard: exact pairwise similarity for candidate verification.
+
+Scale notes: LSH turns the O(n²) all-pairs problem into groupBy(band) —
+shuffle keyed on band hashes (uniform), each bucket small; the final
+pair-join is only over bucket collisions. Exact variants are one shuffle on
+the hash (or none when bucketed storage pre-partitions by hash).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import char_ngrams_expr, minhash_sha_expr, normalized_text_hash_expr
+
+
+# --- exact -------------------------------------------------------------------
+
+def exact_dedup(df: DataFrame, content_col: str = "text") -> DataFrame:
+    """D1/D2: keep one row per normalized-content hash (deterministic winner:
+    min key) — reference 'skip if hash seen', main.py:43-46."""
+    h = normalized_text_hash_expr(F.col(content_col)).alias("content_sha")
+    withh = df.withColumn("content_sha", h)
+    first_key = withh.groupBy("content_sha").agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    return withh.join(first_key, ["content_sha", "doc_id"], "left_semi")
+
+
+def anti_join_seen(df: DataFrame, seen: DataFrame, hash_col: Column,
+                   kind: str) -> DataFrame:
+    """J2/F7: drop rows whose hash is registered in seen_hashes (the
+    reference's dedup-gate, deduplicator.py:114-141). Broadcast when small;
+    at 10^12 scale the seen table is bucketed by hash."""
+    s = seen.where(F.col("kind") == kind).select(F.col("hash").alias("__h"))
+    return (
+        df.withColumn("__h", hash_col)
+        .join(F.broadcast(s) if _is_small(s) else s, "__h", "left_anti")
+        .drop("__h")
+    )
+
+
+def _is_small(df: DataFrame, limit: int = 1_000_000) -> bool:
+    try:
+        return df.limit(limit + 1).count() <= limit
+    except Exception:  # noqa: BLE001
+        return False
+
+
+# --- MinHash + LSH -------------------------------------------------------------
+
+def minhash_signature(df: DataFrame, text_col: str = "text", n: int = 5,
+                      num_perm: int = 8, flavor: str = "xx") -> DataFrame:
+    """Add minhash signature columns mh0..mh{k-1} from char n-gram shingles.
+
+    flavor='xx': xxhash64(shingle, seed=j) — JVM codegen, fast path.
+    flavor='sha': lexicographic min of sha256(shingle||'#'||j) — portable to
+    the DuckDB oracle (same strings both engines).
+    """
+    shingles = char_ngrams_expr(F.col(text_col), n)
+    out = df.withColumn("__sh", shingles)
+    for j in range(num_perm):
+        if flavor == "xx":
+            mh = F.array_min(
+                F.transform(F.col("__sh"), lambda s, j=j: F.xxhash64(s, F.lit(j)))
+            )
+        else:
+            mh = minhash_sha_expr(F.col("__sh"), j)
+        out = out.withColumn(f"mh{j}", mh)
+    return out.drop("__sh")
+
+
+def lsh_candidate_pairs(df: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text", n: int = 5, num_perm: int = 8,
+                        bands: int = 4, flavor: str = "xx") -> DataFrame:
+    """MinHash-LSH near-dup candidates: band the signature, hash each band,
+    self-join rows sharing any band bucket → distinct (a < b) pairs."""
+    rows = num_perm // bands
+    sig = minhash_signature(df.select(id_col, text_col), text_col, n,
+                            num_perm, flavor)
+    band_cols = []
+    for b in range(bands):
+        cols = [F.col(f"mh{j}").cast("string") for j in range(b * rows, (b + 1) * rows)]
+        band_cols.append(
+            F.struct(F.lit(b).alias("band"),
+                     F.sha2(F.concat_ws("|", *cols), 256).alias("bucket"))
+        )
+    buckets = sig.select(
+        F.col(id_col).alias("id"), F.explode(F.array(*band_cols)).alias("bk")
+    ).select("id", "bk.band", "bk.bucket")
+    left = buckets.alias("l")
+    right = buckets.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .distinct()
+    )
+
+
+# --- SimHash ---------------------------------------------------------------------
+
+def simhash(df: DataFrame, text_col: str = "text", bits: int = 64) -> DataFrame:
+    """SimHash over whitespace tokens: per-token 64-bit hash, per-bit
+    weighted majority, reassembled fingerprint. Fully native: explode-free —
+    bit b contribution via shiftright/&1 and aggregate over the token array."""
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    bit_exprs = []
+    for b in range(bits):
+        vote = F.aggregate(
+            hashes,
+            F.lit(0).cast("long"),
+            lambda acc, h, b=b: acc
+            + F.when(F.shiftright(h, b).bitwiseAND(F.lit(1).cast("long")) == 1,
+                     F.lit(1)).otherwise(F.lit(-1)).cast("long"),
+        )
+        bit_exprs.append(
+            F.when(vote > 0, F.lit(1).cast("long") * F.lit(2 ** b if b < 63 else -(2 ** 63)).cast("long"))
+            .otherwise(F.lit(0).cast("long"))
+        )
+    fingerprint = bit_exprs[0]
+    for e in bit_exprs[1:]:
+        fingerprint = fingerprint + e
+    return df.withColumn("simhash", fingerprint)
+
+
+def simhash_hamming(a: Column, b: Column) -> Column:
+    """Hamming distance between two simhash fingerprints via bit_count."""
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+# --- Jaccard -----------------------------------------------------------------------
+
+def ngram_jaccard_pairs(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text", n: int = 5) -> DataFrame:
+    """Exact n-gram Jaccard for candidate pairs (id_a, id_b): explode distinct
+    shingles, equi-join on shingle, |∩| / (|A|+|B|-|∩|)."""
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(char_ngrams_expr(F.col(text_col), n)).alias("g"),
+    ).distinct()
+    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
+    a = sh.select(F.col("id").alias("id_a"), "g")
+    b = sh.select(F.col("id").alias("id_b"), F.col("g"))
+    inter = (
+        pairs.join(a, "id_a").join(b, ["id_b", "g"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("id", "id_a")
+                   .withColumnRenamed("sz", "sz_a"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b")
+              .withColumnRenamed("sz", "sz_b"), "id_b")
+        .select(
+            "id_a", "id_b",
+            F.round(
+                F.col("n_inter")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter")),
+                6,
+            ).alias("jaccard"),
+        )
+    )

@@ -1,0 +1,116 @@
+"""The end-to-end extraction pipeline — resumable, skew-aware, manifest-logged.
+
+Spark-first restatement of the reference's CLI lifecycle (SURVEY §3.1):
+
+    pages scan → resume anti-join (vs manifest)           [J3, persistent.py doc_status]
+              → dedup anti-join (vs seen_hashes)          [F7/J2, main.py:43-46]
+              → salted repartition by xxhash64(url)       [north_rule skew defusal]
+              → mapInPandas extraction (kernel)           [M1/M2 fused]
+              → docs + exploded blocks + chunks           [S3/W1/W6]
+              → parquet sinks + manifest append           [K1-K4, K7]
+
+The manifest is the resume/lineage mechanism the north rule requires: one row
+per (run, partition, url) with bytes in/out and failure code. Resume = left
+anti-join of pages against manifest urls — exactly the reference's
+SQLite doc_status skip (persistent.py:369-406) as a relational op. Per-url
+(not per-partition-summary) rows keep resume exact under repartitioning;
+a summary view aggregates them for metrics.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.chunking import chunk_documents
+from ..operators.extract import explode_blocks, extract_docs
+from ..schema import MANIFEST_SCHEMA
+
+
+class ExtractionPipeline:
+    def __init__(self, spark: SparkSession, out_dir: str,
+                 partitions: int | None = None) -> None:
+        self.spark = spark
+        self.out_dir = out_dir
+        self.partitions = partitions
+        self.manifest_path = os.path.join(out_dir, "manifest")
+        self.docs_path = os.path.join(out_dir, "docs")
+        self.blocks_path = os.path.join(out_dir, "blocks")
+        self.chunks_path = os.path.join(out_dir, "chunks")
+
+    # -- resume gate ----------------------------------------------------------
+    def processed_urls(self) -> DataFrame | None:
+        if not os.path.exists(self.manifest_path):
+            return None
+        try:
+            return self.spark.read.schema(MANIFEST_SCHEMA).parquet(
+                self.manifest_path
+            ).select("url").distinct()
+        except Exception:  # noqa: BLE001 — empty/corrupt manifest = no resume state
+            return None
+
+    def pending(self, pages: DataFrame) -> DataFrame:
+        done = self.processed_urls()
+        if done is None:
+            return pages
+        return pages.join(done, "url", "left_anti")
+
+    # -- run --------------------------------------------------------------------
+    def run(self, pages: DataFrame, run_id: str = "run0",
+            with_chunks: bool = True) -> dict:
+        todo = self.pending(pages)
+        docs = extract_docs(todo, self.partitions)
+
+        # manifest rows ride the same job: spark_partition_id() is stamped
+        # AFTER the salted repartition inside extract_docs, so each row
+        # records the partition that actually did the work.
+        docs_m = docs.withColumn("partition_id", F.spark_partition_id())
+        docs_m.cache()
+        n_docs = docs_m.count()
+
+        (docs_m.drop("blocks")
+         .write.mode("append").parquet(self.docs_path))
+
+        blocks = explode_blocks(docs_m)
+        blocks.write.mode("append").parquet(self.blocks_path)
+
+        if with_chunks:
+            chunks = chunk_documents(blocks)
+            chunks.write.mode("append").parquet(self.chunks_path)
+
+        manifest = docs_m.select(
+            F.lit(run_id).alias("run_id"),
+            F.col("partition_id"),
+            F.col("url"),
+            F.col("bytes_in"),
+            F.length(F.coalesce("extracted_text", F.lit(""))).cast("long").alias("bytes_out"),
+            F.col("failure_code"),
+        )
+        manifest.write.mode("append").parquet(self.manifest_path)
+        docs_m.unpersist()
+        return {"run_id": run_id, "docs_processed": n_docs}
+
+    # -- lineage metrics --------------------------------------------------------
+    def manifest_summary(self) -> DataFrame:
+        """Per-(run, partition) lineage rollup — the reference's scheduler
+        stats (scheduler.py:278-292) as a groupBy."""
+        m = self.spark.read.schema(MANIFEST_SCHEMA).parquet(self.manifest_path)
+        totals = m.groupBy("run_id", "partition_id").agg(
+            F.count("*").alias("urls_processed"),
+            F.sum("bytes_in").alias("bytes_in"),
+            F.sum("bytes_out").alias("bytes_out"),
+        )
+        codes = (
+            m.groupBy("run_id", "partition_id",
+                      F.coalesce("failure_code", F.lit("OK")).alias("code"))
+            .count()
+            .groupBy("run_id", "partition_id")
+            .agg(
+                F.map_from_entries(
+                    F.array_sort(F.collect_list(F.struct("code", "count")))
+                ).alias("failure_codes")
+            )
+        )
+        return totals.join(codes, ["run_id", "partition_id"])

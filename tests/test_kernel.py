@@ -1,0 +1,230 @@
+"""Kernel unit tests — mirror the reference's test granularity
+(SURVEY §5: tests/test_pipeline.py anchor/chunk/config suites) but tightened
+to exact equality."""
+
+import pytest
+
+from rag_pdf_parser_spark.datagen import make_pages
+from rag_pdf_parser_spark.kernel import (
+    ChunkingConfig,
+    chunk_blocks,
+    detect_language,
+    estimate_tokens,
+    extract_document,
+    merge_kind,
+)
+from rag_pdf_parser_spark.kernel.htmlx import anchor_for, decode_html
+
+
+class TestLang:
+    # thresholds per /root/reference/src/text/extractor.py:358-387
+    def test_en(self):
+        assert detect_language("hello world this is english") == "en"
+
+    def test_ko(self):
+        assert detect_language("안녕하세요") == "ko"
+
+    def test_zh(self):
+        assert detect_language("你好世界") == "zh"
+
+    def test_empty_and_nonalpha(self):
+        assert detect_language("") == "unknown"
+        assert detect_language("12345 !!!") == "unknown"
+
+    def test_mixed_threshold(self):
+        # 2 hangul vs 4 ascii → 2/6 = 0.33 > 0.3 → ko
+        assert detect_language("ab cd 안녕") == "ko"
+
+
+class TestTokens:
+    # int(cjk/1.5 + other/4), /root/reference/src/models/chunk.py:102-108
+    def test_ascii(self):
+        assert estimate_tokens("abcd") == 1
+        assert estimate_tokens("a" * 100) == 25
+
+    def test_cjk(self):
+        assert estimate_tokens("安安安") == 2  # 3/1.5
+
+    def test_mixed(self):
+        # 3 cjk + 4 other → 2 + 1 = 3
+        assert estimate_tokens("安安安abcd") == 3
+
+
+class TestAnchor:
+    # [@p{page}_{abbrev}{order}], /root/reference/src/models/block.py:62-70
+    def test_known_types(self):
+        assert anchor_for(1, "text", 0) == "[@p1_txt0]"
+        assert anchor_for(2, "table", 5) == "[@p2_tbl5]"
+        assert anchor_for(3, "formula", 1) == "[@p3_eq1]"
+
+    def test_fallback(self):
+        assert anchor_for(1, "weird", 9) == "[@p1_wei9]"
+
+
+class TestDecode:
+    def test_empty(self):
+        assert decode_html(b"") == ("", "utf-8", "EMPTY_HTML")
+
+    def test_charset_sniff(self):
+        raw = '<meta charset="euc-kr"><p>한글</p>'.encode("euc-kr")
+        text, cs, fail = decode_html(raw)
+        assert cs == "euc-kr" and "한글" in text and fail is None
+
+    def test_unknown_charset_falls_back(self):
+        text, cs, fail = decode_html(b'<meta charset="klingon"><p>x</p>')
+        assert cs == "utf-8"
+
+    def test_deterministic_replacement(self):
+        raw = b'<meta charset="utf-8"><p>\xff\xfe broken</p>'
+        t1 = decode_html(raw)
+        t2 = decode_html(raw)
+        assert t1 == t2
+
+
+class TestMergeRule:
+    def test_hyphen(self):
+        assert merge_kind("hyphen-", "ated") == "hyphen"
+
+    def test_open_clause(self):
+        assert merge_kind("ends low", "continues") == "space"
+
+    def test_no_merge_capital(self):
+        assert merge_kind("ends low", "New sentence") is None
+
+    def test_no_merge_period(self):
+        assert merge_kind("sentence.", "next") is None
+
+
+class TestExtraction:
+    def test_boilerplate_stripped(self):
+        html = (
+            b"<html><body><nav><ul><li><a href='/x'>menu</a></li></ul></nav>"
+            b"<header><p>chrome</p></header>"
+            b"<h1>Real Title</h1><p>Real content paragraph here.</p>"
+            b"<footer><p>copyright</p></footer></body></html>"
+        )
+        d = extract_document(html)
+        assert d["title"] == "Real Title"
+        texts = [b["text"] for b in d["blocks"]]
+        assert "Real content paragraph here." in texts
+        assert all("chrome" not in t and "copyright" not in t and "menu" not in t
+                   for t in texts)
+
+    def test_link_density_filter(self):
+        html = (
+            b"<html><body><h1>T</h1>"
+            b"<p><a href='/1'>link link link link</a> x</p>"
+            b"<p>normal paragraph with plenty of plain text</p></body></html>"
+        )
+        d = extract_document(html)
+        texts = [b["text"] for b in d["blocks"]]
+        assert "normal paragraph with plenty of plain text" in texts
+        assert not any("link link" in t for t in texts)
+
+    def test_table_markdown(self):
+        html = (
+            b"<html><body><table><tr><th>a</th><th>b</th></tr>"
+            b"<tr><td colspan='2'>wide</td></tr>"
+            b"<tr><td>1</td><td>2</td></tr></table></body></html>"
+        )
+        d = extract_document(html)
+        tbl = [b for b in d["blocks"] if b["type"] == "table"][0]
+        lines = tbl["markdown"].split("\n")
+        assert lines[0] == "| a | b |"
+        assert lines[1] == "| --- | --- |"
+        assert lines[2] == "| wide |  |"  # colspan padding
+        assert lines[3] == "| 1 | 2 |"
+
+    def test_page_merge_in_assembly(self):
+        html = (
+            b"<html><body>"
+            b"<div class='page'><p>This is hyphen-</p></div>"
+            b"<div class='page'><p>ated text.</p></div>"
+            b"</body></html>"
+        )
+        d = extract_document(html)
+        assert "hyphenated text." in d["extracted_text"]
+        assert d["n_pages"] == 2
+
+    def test_failure_codes(self):
+        assert extract_document(b"")["failure_code"] == "EMPTY_HTML"
+        assert extract_document(b"<html><body></body></html>")["failure_code"] == "NO_CONTENT"
+
+    def test_spans_point_into_extracted_text(self):
+        for p in make_pages(40):
+            d = extract_document(p["html"])
+            for b in d["blocks"]:
+                frag = d["extracted_text"][b["span_start"]:b["span_end"]]
+                # hyphen-merge can alter one char of a merged block's tail;
+                # require ≥ full match for all non-boundary blocks
+                assert frag == b["text"] or b["text"].startswith(frag[:-1])
+
+    def test_deterministic(self):
+        pages = make_pages(30)
+        a = [extract_document(p["html"]) for p in pages]
+        b = [extract_document(p["html"]) for p in pages]
+        assert a == b
+
+
+class TestChunker:
+    def _mk(self, i, text, btype="text", page=1):
+        return {
+            "page": page, "block_id": f"p{page}_b{i}", "type": btype,
+            "reading_order": i, "text": text, "markdown": text,
+            "anchor": f"[@p{page}_txt{i}]",
+        }
+
+    def test_empty(self):
+        assert chunk_blocks([], "d" * 16) == []
+
+    def test_single_small_doc(self):
+        blocks = [self._mk(0, "short text")]
+        chunks = chunk_blocks(blocks, "abcdefgh12345678")
+        assert len(chunks) == 1
+        assert chunks[0]["chunk_id"] == "abcdefgh_c0"
+        assert chunks[0]["text"] == "short text"
+
+    def test_section_flush_at_min_boundary(self):
+        # chunking.py:54-77 — header flushes only if >= min_chunk_size tokens
+        cfg = ChunkingConfig(chunk_size=100, min_chunk_size=10,
+                             max_chunk_size=200, overlap_tokens=0)
+        small = [self._mk(0, "tiny")]  # 1 token < min → no flush on header
+        blocks = small + [self._mk(1, "Header", "section_header"),
+                          self._mk(2, "x" * 400)]
+        chunks = chunk_blocks(blocks, "d" * 16, cfg)
+        assert len(chunks) == 1  # nothing flushed before header
+
+        big = [self._mk(0, "y" * 100)]  # 25 tokens >= min → flush on header
+        blocks = big + [self._mk(1, "Header", "section_header"),
+                        self._mk(2, "z" * 100)]
+        chunks = chunk_blocks(blocks, "d" * 16, cfg)
+        assert len(chunks) == 2
+        assert chunks[1]["section"] == "Header"
+
+    def test_max_size_force_break(self):
+        cfg = ChunkingConfig(chunk_size=50, min_chunk_size=10,
+                             max_chunk_size=60, overlap_tokens=0)
+        blocks = [self._mk(i, "w" * 100) for i in range(5)]  # 25 tokens each
+        chunks = chunk_blocks(blocks, "d" * 16, cfg)
+        # 25,50→no (blank-check fails, <max), 75>=60 → force break, etc.
+        assert len(chunks) >= 2
+        assert all(c["token_count"] <= 100 for c in chunks)
+
+    def test_overlap_reseed(self):
+        # chunking.py:183-204 — trailing blocks totaling <= overlap re-seed
+        cfg = ChunkingConfig(chunk_size=40, min_chunk_size=5,
+                             max_chunk_size=40, overlap_tokens=10)
+        blocks = [self._mk(i, "v" * 40) for i in range(6)]  # 10 tokens each
+        chunks = chunk_blocks(blocks, "d" * 16, cfg)
+        assert len(chunks) >= 2
+        # consecutive chunks share exactly the overlap block
+        assert chunks[0]["block_ids"][-1] == chunks[1]["block_ids"][0]
+
+    def test_chunk_ids_sequential(self):
+        cfg = ChunkingConfig(chunk_size=20, min_chunk_size=1,
+                             max_chunk_size=20, overlap_tokens=0)
+        blocks = [self._mk(i, "u" * 40) for i in range(4)]
+        chunks = chunk_blocks(blocks, "abcdefgh" + "x" * 8, cfg)
+        assert [c["chunk_id"] for c in chunks] == [
+            f"abcdefgh_c{i}" for i in range(len(chunks))
+        ]
