@@ -70,15 +70,17 @@ def minhash_signature(df: DataFrame, text_col: str = "text", n: int = 5,
     flavor='sha': lexicographic min of sha256(shingle||'#'||j) — portable to
     the DuckDB oracle (same strings both engines).
     """
+    def _xx_min(j: int):
+        # single-arg lambda: pyspark treats 2-arg HOF lambdas as
+        # (element, index), which would clobber the seed
+        return F.array_min(
+            F.transform(F.col("__sh"), lambda s: F.xxhash64(s, F.lit(j)))
+        )
+
     shingles = char_ngrams_expr(F.col(text_col), n)
     out = df.withColumn("__sh", shingles)
     for j in range(num_perm):
-        if flavor == "xx":
-            mh = F.array_min(
-                F.transform(F.col("__sh"), lambda s, j=j: F.xxhash64(s, F.lit(j)))
-            )
-        else:
-            mh = minhash_sha_expr(F.col("__sh"), j)
+        mh = _xx_min(j) if flavor == "xx" else minhash_sha_expr(F.col("__sh"), j)
         out = out.withColumn(f"mh{j}", mh)
     return out.drop("__sh")
 
@@ -123,17 +125,21 @@ def simhash(df: DataFrame, text_col: str = "text", bits: int = 64) -> DataFrame:
     bit b contribution via shiftright/&1 and aggregate over the token array."""
     toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
     hashes = F.transform(toks, lambda t: F.xxhash64(t))
-    bit_exprs = []
-    for b in range(bits):
-        vote = F.aggregate(
+
+    def _vote(b: int):
+        return F.aggregate(
             hashes,
             F.lit(0).cast("long"),
-            lambda acc, h, b=b: acc
+            lambda acc, h: acc
             + F.when(F.shiftright(h, b).bitwiseAND(F.lit(1).cast("long")) == 1,
                      F.lit(1)).otherwise(F.lit(-1)).cast("long"),
         )
+
+    bit_exprs = []
+    for b in range(bits):
+        bit_val = 2 ** b if b < 63 else -(2 ** 63)
         bit_exprs.append(
-            F.when(vote > 0, F.lit(1).cast("long") * F.lit(2 ** b if b < 63 else -(2 ** 63)).cast("long"))
+            F.when(_vote(b) > 0, F.lit(bit_val).cast("long"))
             .otherwise(F.lit(0).cast("long"))
         )
     fingerprint = bit_exprs[0]
@@ -160,10 +166,14 @@ def ngram_jaccard_pairs(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
     sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
     a = sh.select(F.col("id").alias("id_a"), "g")
     b = sh.select(F.col("id").alias("id_b"), F.col("g"))
-    inter = (
+    inter_counts = (
         pairs.join(a, "id_a").join(b, ["id_b", "g"])
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("n_inter"))
+    )
+    # left join back so disjoint pairs report jaccard = 0, not absence
+    inter = pairs.join(inter_counts, ["id_a", "id_b"], "left").withColumn(
+        "n_inter", F.coalesce("n_inter", F.lit(0))
     )
     return (
         inter.join(sizes.withColumnRenamed("id", "id_a")

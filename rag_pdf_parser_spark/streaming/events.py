@@ -19,6 +19,9 @@ from pyspark.sql import functions as F
 def hourly_event_stats(events: DataFrame) -> DataFrame:
     """Tumbling 1-hour window per event_type: count + sum(value).
     Works identically on a static or streaming DataFrame."""
+    # parquet ts is TIMESTAMP_NTZ; watermarks need TIMESTAMP (session tz is
+    # pinned UTC so the cast is value-preserving)
+    events = events.withColumn("ts", F.col("ts").cast("timestamp"))
     return (
         events.withWatermark("ts", "1 hour")
         if events.isStreaming

@@ -1,0 +1,154 @@
+"""Dedup family (exact / MinHash-LSH / SimHash / Jaccard) and similarity
+search — verified against independent Python recomputation."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from rag_pdf_parser_spark.operators.dedup import (
+    exact_dedup,
+    lsh_candidate_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from rag_pdf_parser_spark.operators.similarity import (
+    ann_topk,
+    brute_force_topk,
+    brute_force_topk_numpy,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog and keeps running through "
+    "the quiet forest while the morning light slowly fills the sky above"
+)
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    rows = []
+    for i in range(20):
+        if i < 3:
+            text = BASE  # exact triplet
+        elif i < 6:
+            text = BASE.replace("quick", f"swift{i}")  # near-dups of BASE
+        else:
+            import hashlib
+
+            text = " ".join(
+                hashlib.sha256(f"{i}-{j}".encode()).hexdigest()[:8]
+                for j in range(30)
+            )
+        rows.append((f"d{i:02d}", text))
+    return spark.createDataFrame(rows, "doc_id string, text string").cache()
+
+
+def test_exact_dedup(spark, docs_df):
+    kept = exact_dedup(docs_df).collect()
+    ids = sorted(r["doc_id"] for r in kept)
+    # the three identical docs collapse to the min doc_id
+    assert "d00" in ids and "d01" not in ids and "d02" not in ids
+    assert len(ids) == 18
+
+
+def test_lsh_finds_near_dups(spark, docs_df):
+    pairs = {(r["id_a"], r["id_b"])
+             for r in lsh_candidate_pairs(docs_df, bands=4, num_perm=8).collect()}
+    # all pairs among the 6 BASE-family docs should be candidates
+    fam = [f"d{i:02d}" for i in range(6)]
+    found = sum((a, b) in pairs for i, a in enumerate(fam) for b in fam[i + 1:])
+    assert found >= 12  # most of the 15 family pairs
+    # unique docs shouldn't pair with the family
+    for a, b in pairs:
+        assert a in fam and b in fam, (a, b)
+
+
+def test_lsh_sha_flavor_agrees_on_family(spark, docs_df):
+    pairs = {(r["id_a"], r["id_b"])
+             for r in lsh_candidate_pairs(docs_df, bands=2, num_perm=4,
+                                          flavor="sha").collect()}
+    assert ("d00", "d01") in pairs
+
+
+def test_jaccard_exact(spark, docs_df):
+    pairs = spark.createDataFrame(
+        [("d00", "d01"), ("d00", "d03"), ("d00", "d07")],
+        "id_a string, id_b string",
+    )
+    got = {(r["id_a"], r["id_b"]): r["jaccard"]
+           for r in ngram_jaccard_pairs(docs_df, pairs).collect()}
+
+    def py_jaccard(a, b, n=5):
+        import re
+        na = re.sub(r"\s+", " ", a.lower()).strip()
+        nb = re.sub(r"\s+", " ", b.lower()).strip()
+        sa = {na[i:i + n] for i in range(max(1, len(na) - n + 1))}
+        sb = {nb[i:i + n] for i in range(max(1, len(nb) - n + 1))}
+        return round(len(sa & sb) / len(sa | sb), 6)
+
+    texts = {r["doc_id"]: r["text"] for r in docs_df.collect()}
+    assert got[("d00", "d01")] == 1.0
+    assert got[("d00", "d03")] == pytest.approx(py_jaccard(texts["d00"], texts["d03"]), abs=1e-6)
+    assert got[("d00", "d07")] < 0.05
+
+
+def test_simhash_near_dups_close(spark, docs_df):
+    rows = {r["doc_id"]: r["simhash"] for r in simhash(docs_df).collect()}
+
+    def hamming(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    assert hamming(rows["d00"], rows["d01"]) == 0  # identical text
+    assert hamming(rows["d00"], rows["d03"]) <= 16  # near-dup
+    assert hamming(rows["d00"], rows["d10"]) > 16  # unrelated
+
+
+@pytest.fixture(scope="module")
+def vecs_df(spark):
+    rng = np.random.RandomState(7)
+    base = rng.standard_normal((10, 16))
+    rows = []
+    for i in range(50):
+        v = base[i % 10] + rng.standard_normal(16) * 0.05
+        rows.append((i, [float(x) for x in v]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>").cache()
+
+
+def test_brute_force_topk_matches_numpy(spark, vecs_df):
+    queries = vecs_df.where(F.col("vec_id") < 2)
+    got = brute_force_topk(vecs_df, queries, k=3).collect()
+
+    pdf = vecs_df.toPandas()
+    m = np.vstack(pdf["embedding"].to_numpy())
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    for qid in (0, 1):
+        sims = mn @ mn[qid]
+        order = sorted(
+            ((round(float(s), 4), int(i)) for i, s in enumerate(sims) if i != qid),
+            key=lambda t: (-t[0], t[1]),
+        )[:3]
+        have = sorted(
+            [(r["cosine"], r["cand_id"]) for r in got if r["query_id"] == qid],
+            key=lambda t: (-t[0], t[1]),
+        )
+        assert have == [(s, i) for s, i in order]
+
+
+def test_numpy_variant_matches_expression_variant(spark, vecs_df):
+    queries = vecs_df.where(F.col("vec_id") < 2)
+    a = {(r["query_id"], r["cand_id"]) for r in brute_force_topk(vecs_df, queries, k=3).collect()}
+    qpdf = queries.toPandas()
+    b = {(r["query_id"], r["cand_id"])
+         for r in brute_force_topk_numpy(vecs_df, qpdf, k=3).collect()}
+    assert a == b
+
+
+def test_ann_recall_against_brute_force(spark, vecs_df):
+    queries = vecs_df.where(F.col("vec_id") < 5)
+    exact = {(r["query_id"], r["cand_id"])
+             for r in brute_force_topk(vecs_df, queries, k=3).collect()}
+    approx = {(r["query_id"], r["cand_id"])
+              for r in ann_topk(vecs_df, queries, dim=16, k=3,
+                                n_bits=16, bands=8).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.6, recall  # clustered data → high bucket collision

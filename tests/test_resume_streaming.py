@@ -1,0 +1,105 @@
+"""Resume-from-manifest (north_rule lineage requirement), streaming parity,
+multimodal plumbing."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from rag_pdf_parser_spark.operators.multimodal import image_features
+from rag_pdf_parser_spark.plans.pipeline import ExtractionPipeline
+from rag_pdf_parser_spark.sources.pages import synth_pages
+from rag_pdf_parser_spark.streaming.events import hourly_event_stats, run_stream_once
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_resume_no_double_processing(spark, tmp_path):
+    """Kill-and-restart semantics: process half, then resume with the full
+    input — resumed run must process ONLY the missing urls, and the final
+    outputs equal an uninterrupted run (SURVEY §5.4)."""
+    pages = synth_pages(spark, 80)
+    half = pages.limit(40)
+
+    out1 = str(tmp_path / "interrupted")
+    p1 = ExtractionPipeline(spark, out1, partitions=4)
+    r1 = p1.run(half, run_id="r1", with_chunks=False)
+    assert r1["docs_processed"] == 40
+
+    r2 = p1.run(pages, run_id="r2", with_chunks=False)
+    assert r2["docs_processed"] == 40  # only the other half
+
+    manifest = spark.read.parquet(p1.manifest_path)
+    assert manifest.count() == 80
+    assert manifest.select("url").distinct().count() == 80  # no url twice
+
+    out2 = str(tmp_path / "clean")
+    p2 = ExtractionPipeline(spark, out2, partitions=4)
+    p2.run(pages, run_id="single", with_chunks=False)
+
+    a = spark.read.parquet(p1.docs_path).select("url", "doc_id", "extracted_text")
+    b = spark.read.parquet(p2.docs_path).select("url", "doc_id", "extracted_text")
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_manifest_summary_lineage(spark, tmp_path):
+    pages = synth_pages(spark, 60)
+    out = str(tmp_path / "lineage")
+    p = ExtractionPipeline(spark, out, partitions=4)
+    p.run(pages, run_id="r1", with_chunks=False)
+    s = p.manifest_summary().collect()
+    assert sum(r["urls_processed"] for r in s) == 60
+    assert all(r["bytes_in"] > 0 for r in s if r["urls_processed"] > 0)
+    codes = {k for r in s for k in r["failure_codes"]}
+    assert "OK" in codes
+
+
+def test_streaming_matches_batch(spark, tmp_path):
+    events = spark.read.parquet(os.path.join(SF_DIR, "events.parquet"))
+    batch = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in hourly_event_stats(events).collect()
+    }
+    # streaming file source needs a directory, not a bare file
+    src_dir = tmp_path / "events_src"
+    src_dir.mkdir()
+    import shutil
+
+    shutil.copy(os.path.join(SF_DIR, "events.parquet"),
+                src_dir / "events.parquet")
+    got = run_stream_once(
+        spark,
+        str(src_dir),
+        events.schema,
+        str(tmp_path / "ckpt"),
+        query_name="t_hourly",
+    )
+    stream = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in got.collect()
+    }
+    assert stream == batch
+
+
+def test_multimodal_feature_plumbing(spark):
+    rows = [
+        ("m1", b"\x89PNG\r\n" + b"x" * 100),
+        ("m2", b"\xff\xd8\xff" + b"y" * 50),
+        ("m3", None),
+    ]
+    df = spark.createDataFrame(rows, "media_id string, content binary")
+    got = {r["media_id"]: r for r in image_features(df).collect()}
+    assert got["m1"]["format_guess"] == "png"
+    assert got["m2"]["format_guess"] == "jpeg"
+    assert got["m3"]["n_bytes"] == 0
+    assert all(len(r["phash"]) == 16 for r in got.values())
+    # deterministic
+    again = {r["media_id"]: r for r in image_features(df).collect()}
+    assert {k: tuple(v) for k, v in got.items()} == {k: tuple(v) for k, v in again.items()}
+
+
+def test_decode_stub_raises(spark):
+    from rag_pdf_parser_spark.operators.multimodal import decode_image_stub
+
+    with pytest.raises(NotImplementedError):
+        decode_image_stub(b"\x89PNG")
