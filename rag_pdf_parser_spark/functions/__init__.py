@@ -157,19 +157,35 @@ def quality_features_expr(text: Column) -> dict[str, Column]:
 
 
 def quality_score_expr(text: Column) -> Column:
-    """Composite quality score in [0,1]: rewards alpha-dominant, stopword-
-    bearing, moderately long text; penalizes digit/punct noise. Fixed
-    weights, fully deterministic."""
-    f = quality_features_expr(text)
-    length_score = F.least(f["n_chars"].cast("double") / 500.0, F.lit(1.0))
-    score = (
-        0.35 * f["alpha_ratio"]
-        + 0.25 * F.least(f["stopword_ratio"] * 3.0, F.lit(1.0))
-        + 0.25 * length_score
-        - 0.10 * f["digit_ratio"]
-        - 0.05 * f["punct_ratio"]
+    """Composite quality score, scaled to 1e8 micro-units (BIGINT): rewards
+    alpha-dominant, stopword-bearing, moderately long text; penalizes
+    digit/punct noise. Deliberately float-free at the output (floor-based
+    integer pipeline) so the value is bit-identical across engines — double
+    round() half-way behavior differs between Spark and DuckDB."""
+    length = F.length(text).cast("double")
+    safe_len = F.greatest(length, F.lit(1.0))
+    alpha = _count_class(text, "[A-Za-z]").cast("double")
+    digit = _count_class(text, "[0-9]").cast("double")
+    punct = _count_class(text, r"[\.,;:!?'\"()\[\]{}-]").cast("double")
+    n_words = F.greatest(
+        F.size(F.split(F.trim(text), r"\s+")).cast("double"), F.lit(1.0)
     )
-    return F.round(F.greatest(F.least(score, F.lit(1.0)), F.lit(0.0)), 6)
+    stop_hits = F.size(
+        F.filter(
+            F.split(F.lower(text), r"\s+"),
+            lambda w: w.isin("the", "a", "an", "and", "or", "of", "to",
+                             "in", "is", "that"),
+        )
+    ).cast("double")
+    a_u = F.floor(alpha * 1000000.0 / safe_len)
+    d_u = F.floor(digit * 1000000.0 / safe_len)
+    p_u = F.floor(punct * 1000000.0 / safe_len)
+    st_u = F.least(F.floor(stop_hits * 3000000.0 / n_words), F.lit(1000000))
+    len_u = F.least(F.length(text).cast("long") * 2000, F.lit(1000000))
+    raw = 35 * a_u + 25 * st_u + 25 * len_u - 10 * d_u - 5 * p_u
+    return F.greatest(
+        F.least(raw, F.lit(100000000)), F.lit(0)
+    ).cast("long")
 
 
 def fingerprint_expr(text: Column, prefix_len: int = 128) -> Column:
