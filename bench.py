@@ -1,0 +1,151 @@
+#!/usr/bin/env python
+"""Benchmark harness — prints ONE JSON line for the driver.
+
+Headline metric: end-to-end extraction seconds over a synthetic pages table
+scaled to the sf of $SPARK_GRAFT_SF_DIR (pages = 500_000 × sf), i.e. the
+north-star pipeline: distributed page generation → salted repartition →
+kernel extraction (mapInPandas) → exploded blocks → chunking. Secondary
+timings cover the relational/training-data operator families at the sf dir.
+
+Usage:
+    python bench.py                 # one run at local[$SPARK_GRAFT_CPUS]
+    python bench.py --scaling       # run at local[8] and local[32] in
+                                    # subprocesses; report throughput at both
+                                    # + scaling efficiency (BASELINE.md rule)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+PAGES_PER_SF = 500_000
+
+
+def _sf_from_dir(d: str) -> float:
+    base = os.path.basename(d.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def run_bench() -> dict:
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from pyspark.sql import functions as F
+
+    from rag_pdf_parser_spark.operators.chunking import chunk_documents
+    from rag_pdf_parser_spark.operators.dedup import lsh_candidate_pairs, simhash
+    from rag_pdf_parser_spark.operators.extract import explode_blocks, extract_docs
+    from rag_pdf_parser_spark.operators.similarity import brute_force_topk
+    from rag_pdf_parser_spark.session import get_spark
+    from rag_pdf_parser_spark.sources.pages import synth_pages_dist
+
+    sf = _sf_from_dir(SF_DIR)
+    n_pages = max(1000, int(PAGES_PER_SF * sf))
+    spark = get_spark(f"local[{CPUS}]", shuffle_partitions=CPUS)
+
+    timings: dict[str, float] = {}
+
+    def timed(name: str, fn):
+        t0 = time.time()
+        out = fn()
+        timings[name] = round(time.time() - t0, 3)
+        return out
+
+    # warm the JVM/Arrow path so the headline isn't dominated by startup
+    synth_pages_dist(spark, 512).count()
+
+    pages = synth_pages_dist(spark, n_pages)
+    pages = pages.persist()
+    n_rows = pages.count()
+    bytes_in = pages.select(F.sum(F.length("html"))).collect()[0][0] or 0
+
+    # headline: full extraction (docs materialized, blocks exploded)
+    docs = extract_docs(pages)
+    stats = timed(
+        "extract_e2e",
+        lambda: docs.select(
+            F.count("*").alias("n"),
+            F.sum(F.length("extracted_text")).alias("chars_out"),
+        ).collect()[0],
+    )
+    t_extract = timings["extract_e2e"]
+
+    blocks = explode_blocks(extract_docs(pages))
+    timed("blocks_explode", lambda: blocks.count())
+    timed("chunking", lambda: chunk_documents(blocks).count())
+
+    # training-data / relational families at the sf dir
+    docs_t = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    emb_t = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    li = spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet"))
+
+    timed("minhash_lsh_xx",
+          lambda: lsh_candidate_pairs(docs_t, id_col="doc_id").count())
+    timed("simhash64",
+          lambda: simhash(docs_t).select(F.sum(F.bit_count("simhash"))).collect())
+    timed("knn_cosine",
+          lambda: brute_force_topk(
+              emb_t, emb_t.where(F.col("vec_id") < 5), k=5).count())
+    timed("tpch_q1",
+          lambda: li.groupBy("l_returnflag", "l_linestatus")
+          .agg(F.sum("l_quantity"), F.sum("l_extendedprice"), F.count("*"))
+          .collect())
+
+    pages.unpersist()
+    spark.stop()
+
+    docs_per_sec = round(n_rows / t_extract, 1) if t_extract else None
+    mb_per_sec = round(bytes_in / 1e6 / t_extract, 2) if t_extract else None
+    return {
+        "metric": "e2e_extraction_sec",
+        "value": t_extract,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "n_pages": n_rows,
+        "cpus": CPUS,
+        "docs_per_sec": docs_per_sec,
+        "html_mb_per_sec": mb_per_sec,
+    }
+
+
+def run_scaling() -> dict:
+    """North-rule scaling evidence: identical job at local[8] vs local[32];
+    efficiency = (docs_per_sec_32 / docs_per_sec_8) / 4."""
+    results = {}
+    for cpus in (8, 32):
+        env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, timeout=3600,
+        )
+        line = out.stdout.strip().splitlines()[-1]
+        results[cpus] = json.loads(line)
+    eff = round(
+        (results[32]["docs_per_sec"] / results[8]["docs_per_sec"]) / 4.0, 3
+    )
+    return {
+        "metric": "scaling_efficiency_8_to_32",
+        "value": eff,
+        "unit": "ratio",
+        "docs_per_sec_8": results[8]["docs_per_sec"],
+        "docs_per_sec_32": results[32]["docs_per_sec"],
+        "extract_sec_8": results[8]["value"],
+        "extract_sec_32": results[32]["value"],
+        "sf": results[32]["sf"],
+        "n_pages": results[32]["n_pages"],
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

@@ -27,10 +27,12 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..kernel.chunker import chunk_blocks
 from ..kernel.htmlx import extract_document
-from ..schema import DOCS_SCHEMA
+from ..schema import DOCS_FULL_SCHEMA, DOCS_SCHEMA
 
 _DOC_COLS = [f.name for f in DOCS_SCHEMA.fields]
+_CHUNK_FIELDS = [f.name for f in DOCS_FULL_SCHEMA["chunks"].dataType.elementType.fields]
 
 
 def _extract_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -64,6 +66,47 @@ def extract_docs(pages: DataFrame, partitions: int | None = None) -> DataFrame:
     n = partitions or int(pages.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     src = pages.select("url", "html").repartition(n, F.xxhash64("url"))
     return src.mapInPandas(_extract_batches, DOCS_SCHEMA)
+
+
+def _extract_full_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in it:
+        rows = []
+        for url, html in zip(pdf["url"].tolist(), pdf["html"].tolist()):
+            raw = bytes(html) if html is not None else b""
+            d = extract_document(raw)
+            chunks = [
+                {k: c[k] for k in _CHUNK_FIELDS}
+                for c in chunk_blocks(d["blocks"], d["doc_id"])
+            ]
+            rows.append(
+                (url, d["doc_id"], d["charset"], d["failure_code"], d["title"],
+                 d["n_pages"], d["extracted_text"], len(raw), d["blocks"],
+                 chunks)
+            )
+        yield pd.DataFrame(rows, columns=_DOC_COLS + ["chunks"])
+
+
+def extract_docs_full(pages: DataFrame, partitions: int | None = None) -> DataFrame:
+    """Fused extraction + chunking in ONE Arrow stage (blocks and chunks both
+    nested). Chunking is per-doc sequential (SURVEY §2.5 W6), so fusing it
+    into the extraction pass costs nothing and removes the groupBy(doc_id)
+    shuffle + per-group pandas overhead of the standalone grouped-map —
+    the right plan shape at 10^12 docs. Use `chunk_documents` only when
+    chunking pre-existing block tables."""
+    n = partitions or int(pages.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    src = pages.select("url", "html").repartition(n, F.xxhash64("url"))
+    return src.mapInPandas(_extract_full_batches, DOCS_FULL_SCHEMA)
+
+
+def explode_chunks(docs_full: DataFrame) -> DataFrame:
+    """docs_full → flat chunks table (CHUNKS_SCHEMA shape)."""
+    return (
+        docs_full.select("doc_id", F.explode("chunks").alias("c"))
+        .select("c.chunk_id", "doc_id", "c.page_start", "c.page_end",
+                "c.block_ids", "c.section", "c.text", "c.token_count",
+                "c.char_count", "c.reading_order_start",
+                "c.reading_order_end", "c.anchors")
+    )
 
 
 def explode_blocks(docs: DataFrame) -> DataFrame:

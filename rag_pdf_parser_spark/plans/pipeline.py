@@ -24,8 +24,11 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.chunking import chunk_documents
-from ..operators.extract import explode_blocks, extract_docs
+from ..operators.extract import (
+    explode_blocks,
+    explode_chunks,
+    extract_docs_full,
+)
 from ..schema import MANIFEST_SCHEMA
 
 
@@ -61,24 +64,24 @@ class ExtractionPipeline:
     def run(self, pages: DataFrame, run_id: str = "run0",
             with_chunks: bool = True) -> dict:
         todo = self.pending(pages)
-        docs = extract_docs(todo, self.partitions)
+        # fused extract+chunk: one Arrow stage, no chunking shuffle
+        docs = extract_docs_full(todo, self.partitions)
 
         # manifest rows ride the same job: spark_partition_id() is stamped
-        # AFTER the salted repartition inside extract_docs, so each row
+        # AFTER the salted repartition inside extract_docs_full, so each row
         # records the partition that actually did the work.
         docs_m = docs.withColumn("partition_id", F.spark_partition_id())
         docs_m.cache()
         n_docs = docs_m.count()
 
-        (docs_m.drop("blocks")
+        (docs_m.drop("blocks", "chunks")
          .write.mode("append").parquet(self.docs_path))
 
-        blocks = explode_blocks(docs_m)
+        blocks = explode_blocks(docs_m.drop("chunks"))
         blocks.write.mode("append").parquet(self.blocks_path)
 
         if with_chunks:
-            chunks = chunk_documents(blocks)
-            chunks.write.mode("append").parquet(self.chunks_path)
+            explode_chunks(docs_m).write.mode("append").parquet(self.chunks_path)
 
         manifest = docs_m.select(
             F.lit(run_id).alias("run_id"),

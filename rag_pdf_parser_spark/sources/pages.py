@@ -30,6 +30,32 @@ def synth_pages(spark: SparkSession, n: int, seed: int = 42,
     return df
 
 
+def synth_pages_dist(spark: SparkSession, n: int, seed: int = 42,
+                     partitions: int | None = None) -> DataFrame:
+    """Distributed deterministic pages generation: row i is a pure function
+    of (seed, i) (datagen.make_page), so generation parallelizes with
+    spark.range + mapInPandas — the only way to materialize fixture tables at
+    bench scale (the driver never holds the corpus)."""
+    import pandas as pd
+
+    from ..datagen import make_page
+
+    parts = partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+    def gen(it):
+        for pdf in it:
+            rows = [make_page(int(i), seed) for i in pdf["id"]]
+            out = pd.DataFrame(rows)
+            out["warc_ts"] = pd.to_datetime(out["warc_ts"], utc=True).dt.tz_localize(None)
+            yield out[["url", "warc_ts", "html", "text", "lang"]]
+
+    return (
+        spark.range(n)
+        .repartition(parts)
+        .mapInPandas(gen, PAGES_SCHEMA)
+    )
+
+
 def write_pages(spark: SparkSession, n: int, path: str, seed: int = 42) -> str:
     synth_pages(spark, n, seed).write.mode("overwrite").parquet(path)
     return path

@@ -153,3 +153,23 @@ def test_determinism_across_partitionings(spark, pages_df):
     b = extract_docs(pages_df, partitions=11).select("url", "doc_id", "extracted_text")
     assert a.exceptAll(b).count() == 0
     assert b.exceptAll(a).count() == 0
+
+
+def test_fused_chunks_equal_grouped_map(spark, pages_df):
+    """extract_docs_full's fused chunking must equal the standalone
+    applyInPandas chunker (same kernel, two plan shapes)."""
+    from rag_pdf_parser_spark.operators.extract import (
+        explode_chunks,
+        extract_docs_full,
+    )
+
+    docs_full = extract_docs_full(pages_df)
+    fused = explode_chunks(docs_full).select(
+        "chunk_id", "doc_id", "text", "token_count", "section"
+    )
+    blocks = explode_blocks(extract_docs(pages_df))
+    grouped = chunk_documents(blocks).select(
+        "chunk_id", "doc_id", "text", "token_count", "section"
+    )
+    assert fused.exceptAll(grouped).count() == 0
+    assert grouped.exceptAll(fused).count() == 0
