@@ -64,43 +64,32 @@ def _is_small(df: DataFrame, limit: int = 1_000_000) -> bool:
 
 def minhash_signature(df: DataFrame, text_col: str = "text", n: int = 5,
                       num_perm: int = 8, flavor: str = "xx") -> DataFrame:
-    """Add minhash signature columns mh0..mh{k-1} from char n-gram shingles.
+    """Signature table: non-text columns of `df` + mh0..mh{k-1} minhash
+    components from char n-gram shingles (the text column is consumed).
 
     flavor='xx': xxhash64(shingle, seed=j) — JVM codegen, fast path.
     flavor='sha': lexicographic min of sha256(shingle||'#'||j) — portable to
     the DuckDB oracle (same strings both engines).
     """
-    shingles = char_ngrams_expr(F.col(text_col), n)
-
-    # One aggregate pass computes all k signature components: Catalyst's
-    # CollapseProject would otherwise inline the (expensive) shingle-array
-    # expression once PER signature column, re-shingling the document k
-    # times. The repartition() below is a deliberate materialization
-    # barrier so downstream per-band references read a computed column,
-    # not the expression tree. (Measured: 8 perms over 500 docs dropped
-    # from 12.6s to sub-second.)
+    # Explode shingles \u2192 hash-aggregate with k primitive min() columns.
+    # This is the scalable shape: whole-stage-codegen'd mins, map-side
+    # partial aggregation collapses each doc to ONE k-wide row per task
+    # before the shuffle (shuffle volume \u2248 ids \u00d7 k, independent of text
+    # size). Array-accumulator folds (allocate per shingle) and per-column
+    # array_min over a shared array expression (CollapseProject re-shingles
+    # per column) both measured slower by 3-10\u00d7.
+    id_cols = [c for c in df.columns if c != text_col] or [text_col]
+    sh = df.select(*id_cols,
+                   F.explode(char_ngrams_expr(F.col(text_col), n)).alias("__g"))
     if flavor == "xx":
-        init = F.array(*[F.lit(2 ** 63 - 1).cast("long")] * num_perm)
-        merge = lambda acc, s: F.array(*[  # noqa: E731
-            F.least(F.element_at(acc, j + 1), F.xxhash64(s, F.lit(j)))
-            for j in range(num_perm)
-        ])
+        aggs = [F.min(F.xxhash64(F.col("__g"), F.lit(j))).alias(f"mh{j}")
+                for j in range(num_perm)]
     else:
-        init = F.array(*[F.lit("\uffff")] * num_perm)  # > any sha-256 hex
-        merge = lambda acc, s: F.array(*[  # noqa: E731
-            F.least(
-                F.element_at(acc, j + 1),
-                F.sha2(F.concat(s, F.lit(f"#{j}")), 256),
-            )
+        aggs = [
+            F.min(F.sha2(F.concat(F.col("__g"), F.lit(f"#{j}")), 256)).alias(f"mh{j}")
             for j in range(num_perm)
-        ])
-    out = df.withColumn("__mhs", F.aggregate(shingles, init, merge))
-    out = out.repartition(
-        int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    )
-    for j in range(num_perm):
-        out = out.withColumn(f"mh{j}", F.element_at("__mhs", j + 1))
-    return out.drop("__mhs")
+        ]
+    return sh.groupBy(*id_cols).agg(*aggs)
 
 
 def lsh_candidate_pairs(df: DataFrame, id_col: str = "doc_id",
