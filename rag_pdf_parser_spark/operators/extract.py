@@ -57,14 +57,24 @@ def _extract_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         yield pd.DataFrame(rows, columns=_DOC_COLS)
 
 
-def extract_docs(pages: DataFrame, partitions: int | None = None) -> DataFrame:
+def extract_docs(pages: DataFrame, partitions: int | None = None,
+                 salt: bool = True) -> DataFrame:
     """pages(url, html, ...) → docs per DOCS_SCHEMA (blocks nested).
 
-    `partitions`: salted-repartition width before the UDF; defaults to the
-    session's shuffle partitions. At cluster scale this is ~2-3× total cores.
+    `partitions`: salted-repartition width before the UDF; defaults to
+    3× the session's shuffle partitions (UDF stages want finer tasks than
+    pure-JVM stages: stragglers from uneven per-document cost are the
+    dominant tail at high parallelism).
+
+    `salt=False` skips the defusal shuffle — correct when the input is
+    already url-hash bucketed (an Iceberg table bucketed at ingest), which
+    is the production layout at 10^12 rows.
     """
-    n = partitions or int(pages.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    src = pages.select("url", "html").repartition(n, F.xxhash64("url"))
+    src = pages.select("url", "html")
+    if salt:
+        n = partitions or 3 * int(
+            pages.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+        src = src.repartition(n, F.xxhash64("url"))
     return src.mapInPandas(_extract_batches, DOCS_SCHEMA)
 
 
@@ -86,7 +96,8 @@ def _extract_full_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         yield pd.DataFrame(rows, columns=_DOC_COLS + ["chunks"])
 
 
-def extract_docs_full(pages: DataFrame, partitions: int | None = None) -> DataFrame:
+def extract_docs_full(pages: DataFrame, partitions: int | None = None,
+                      salt: bool = True) -> DataFrame:
     """Fused extraction + chunking in ONE Arrow stage (blocks and chunks both
     nested). Chunking is per-doc sequential (SURVEY §2.5 W6), so fusing it
     into the extraction pass costs nothing and removes the groupBy(doc_id)
