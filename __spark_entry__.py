@@ -380,6 +380,49 @@ def q_page_merge_rule(spark, sf_dir):
     return d.select("doc_id", decision.alias("merge_kind"))
 
 
+def q_rollup_order_counts(spark, sf_dir):
+    """Grouping-sets coverage: ROLLUP over status × priority."""
+    o = _t(spark, sf_dir, "orders")
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,6)")), 2)
+        .cast("double").alias("total_price"),
+    )
+
+
+def q_customers_with_orders(spark, sf_dir):
+    """Semi-join (EXISTS) coverage."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .select("c_custkey", "c_mktsegment")
+    )
+
+
+def q_supplier_distinct_parts(spark, sf_dir):
+    """Distinct-aggregate coverage."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_suppkey").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.round(F.sum(F.col("l_quantity").cast("decimal(18,6)")), 2)
+        .cast("double").alias("total_qty"),
+    )
+
+
+def q_lineitem_filter_scan(spark, sf_dir):
+    """Row-level filter+projection (parquet pushdown path end-to-end)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where((F.col("l_shipdate") >= "1996-01-01")
+                 & (F.col("l_shipdate") < "1996-02-01")
+                 & (F.col("l_discount") > 0.05))
+        .select("l_orderkey", "l_linenumber",
+                F.round(F.col("l_extendedprice").cast("decimal(18,6)"), 2)
+                .cast("double").alias("price"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # rows-only queries (extraction pipeline over synthetic pages; fast paths)
 # ---------------------------------------------------------------------------
@@ -439,6 +482,25 @@ def q_ann_topk(spark, sf_dir):
                     n_bits=16, bands=8)
 
 
+def q_xy_cut_order(spark, sf_dir):
+    """W3 — column-aware XY reading-order kernel (extractor.py:304-356) over
+    a deterministic positioned-boxes fixture."""
+    from rag_pdf_parser_spark.operators.layout import synth_boxes, xy_cut_order
+
+    return xy_cut_order(synth_boxes(spark, 100)).select(
+        "doc_id", "line_id", "reading_order"
+    )
+
+
+def q_markdown_segment(spark, sf_dir):
+    """X7 — markdown structural segmentation (qwen_parser.py:321-492) over
+    the documents text column."""
+    from rag_pdf_parser_spark.operators.layout import segment_markdown_docs
+
+    d = _t(spark, sf_dir, "documents")
+    return segment_markdown_docs(d)
+
+
 def q_image_features(spark, sf_dir):
     """Multimodal plumbing: binary column → mapInPandas feature extraction
     (decode stubbed — deterministic byte-level stand-ins)."""
@@ -480,6 +542,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_json": q_events_json,
         "section_carry_events": q_section_carry_events,
         "page_merge_rule": q_page_merge_rule,
+        "rollup_order_counts": q_rollup_order_counts,
+        "customers_with_orders": q_customers_with_orders,
+        "supplier_distinct_parts": q_supplier_distinct_parts,
+        "lineitem_filter_scan": q_lineitem_filter_scan,
         # rows-only (non-SQL-expressible: pipeline over synthetic pages /
         # engine fast paths; byte-identity asserted in tests/)
         "extract_pages": q_extract_pages,
@@ -490,6 +556,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash64": q_simhash64,
         "ann_topk": q_ann_topk,
         "image_features": q_image_features,
+        "xy_cut_order": q_xy_cut_order,
+        "markdown_segment": q_markdown_segment,
     }
 
 
@@ -830,6 +898,28 @@ def oracle_sql() -> dict[str, str]:
                      OVER (PARTITION BY user_id ORDER BY ts, event_id
                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_login_event
             FROM events
+        """,
+        "rollup_order_counts": """
+            SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+                   CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_price
+            FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+        """,
+        "customers_with_orders": """
+            SELECT c_custkey, c_mktsegment FROM customer
+            WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        """,
+        "supplier_distinct_parts": """
+            SELECT l_suppkey, count(DISTINCT l_partkey) AS n_parts,
+                   CAST(round(sum(CAST(l_quantity AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_qty
+            FROM lineitem GROUP BY l_suppkey
+        """,
+        "lineitem_filter_scan": """
+            SELECT l_orderkey, l_linenumber,
+                   CAST(round(CAST(l_extendedprice AS DECIMAL(18,6)), 2) AS DOUBLE) AS price
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1996-02-01'
+              AND l_discount > 0.05
         """,
         "page_merge_rule": """
             WITH w AS (
