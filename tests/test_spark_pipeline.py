@@ -173,3 +173,27 @@ def test_fused_chunks_equal_grouped_map(spark, pages_df):
     )
     assert fused.exceptAll(grouped).count() == 0
     assert grouped.exceptAll(fused).count() == 0
+
+
+def test_render_markdown_doc(spark, pages_df, golden_docs):
+    """K1 sink: markdown doc per doc_id with page separators
+    (writer.py:80-87 shape)."""
+    from rag_pdf_parser_spark.operators.pagemerge import render_markdown_doc
+
+    blocks = explode_blocks(extract_docs(pages_df))
+    out = {r["doc_id"]: r["markdown_doc"]
+           for r in render_markdown_doc(blocks).collect()}
+    for g in golden_docs.values():
+        if not g["blocks"]:
+            continue
+        md = out[g["doc_id"]]
+        # every block's markdown appears, in reading order
+        pos = -1
+        for b in g["blocks"]:
+            if not b["markdown"]:
+                continue
+            nxt = md.find(b["markdown"], pos + 1)
+            assert nxt > pos, (g["doc_id"], b["block_id"])
+            pos = nxt
+        if g["n_pages"] > 1:
+            assert "<!-- Page 2 -->" in md
