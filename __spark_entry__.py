@@ -380,6 +380,24 @@ def q_page_merge_rule(spark, sf_dir):
     return d.select("doc_id", decision.alias("merge_kind"))
 
 
+def q_heading_level(spark, sf_dir):
+    """X11: heading heuristics (heading.py:8-35 [legacy]) as an expression:
+    '^(Chapter|Section) N' → 1, ALLCAPS → 2, Title Case → 3, else 0 —
+    applied only to <10-word texts (the reference's word-count gate)."""
+    d = _t(spark, sf_dir, "documents")
+    first_line = F.substring(F.col("text"), 1, 80)
+    n_words = F.size(F.split(F.trim(first_line), r"\s+"))
+    level = (
+        F.when(n_words >= 10, F.lit(0))
+        .when(first_line.rlike(r"^(Chapter|Section) [0-9]+"), F.lit(1))
+        .when((F.upper(first_line) == first_line)
+              & first_line.rlike("[A-Z]"), F.lit(2))
+        .when(first_line.rlike(r"^([A-Z][a-z]*\s*)+$"), F.lit(3))
+        .otherwise(F.lit(0))
+    )
+    return d.select("doc_id", level.alias("heading_level"))
+
+
 def q_rollup_order_counts(spark, sf_dir):
     """Grouping-sets coverage: ROLLUP over status × priority."""
     o = _t(spark, sf_dir, "orders")
@@ -482,6 +500,22 @@ def q_ann_topk(spark, sf_dir):
                     n_bits=16, bands=8)
 
 
+def q_chunk_provenance(spark, sf_dir):
+    """J5: chunk↔block provenance — explode chunk.block_ids and equi-join
+    back to blocks (chunking.py:161 / block.py:210-224 viewer path)."""
+    from rag_pdf_parser_spark.operators.extract import extract_docs_full
+
+    docs = extract_docs_full(synth_pages(spark, 100))
+    chunks = docs.select(
+        "doc_id", F.explode("chunks").alias("c")
+    ).select("doc_id", F.col("c.chunk_id").alias("chunk_id"),
+             F.explode("c.block_ids").alias("block_id"))
+    blocks = explode_blocks(docs.drop("chunks"))
+    return chunks.join(blocks, ["doc_id", "block_id"]).select(
+        "chunk_id", "doc_id", "block_id", "type", "reading_order", "anchor"
+    )
+
+
 def q_xy_cut_order(spark, sf_dir):
     """W3 — column-aware XY reading-order kernel (extractor.py:304-356) over
     a deterministic positioned-boxes fixture."""
@@ -542,6 +576,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_json": q_events_json,
         "section_carry_events": q_section_carry_events,
         "page_merge_rule": q_page_merge_rule,
+        "heading_level": q_heading_level,
         "rollup_order_counts": q_rollup_order_counts,
         "customers_with_orders": q_customers_with_orders,
         "supplier_distinct_parts": q_supplier_distinct_parts,
@@ -558,6 +593,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_features": q_image_features,
         "xy_cut_order": q_xy_cut_order,
         "markdown_segment": q_markdown_segment,
+        "chunk_provenance": q_chunk_provenance,
     }
 
 
@@ -898,6 +934,18 @@ def oracle_sql() -> dict[str, str]:
                      OVER (PARTITION BY user_id ORDER BY ts, event_id
                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_login_event
             FROM events
+        """,
+        "heading_level": """
+            WITH f AS (
+              SELECT doc_id, substring(text, 1, 80) AS fl FROM documents
+            )
+            SELECT doc_id,
+                   CASE WHEN len(string_split_regex(trim(fl), '\\s+')) >= 10 THEN 0
+                        WHEN regexp_matches(fl, '^(Chapter|Section) [0-9]+') THEN 1
+                        WHEN upper(fl) = fl AND regexp_matches(fl, '[A-Z]') THEN 2
+                        WHEN regexp_matches(fl, '^([A-Z][a-z]*\\s*)+$') THEN 3
+                        ELSE 0 END AS heading_level
+            FROM f
         """,
         "rollup_order_counts": """
             SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,

@@ -29,15 +29,16 @@ from ..functions import char_ngrams_expr, minhash_sha_expr, normalized_text_hash
 
 # --- exact -------------------------------------------------------------------
 
-def exact_dedup(df: DataFrame, content_col: str = "text") -> DataFrame:
+def exact_dedup(df: DataFrame, content_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
     """D1/D2: keep one row per normalized-content hash (deterministic winner:
-    min key) — reference 'skip if hash seen', main.py:43-46."""
+    min id) — reference 'skip if hash seen', main.py:43-46."""
     h = normalized_text_hash_expr(F.col(content_col)).alias("content_sha")
     withh = df.withColumn("content_sha", h)
     first_key = withh.groupBy("content_sha").agg(
-        F.min("doc_id").alias("doc_id")
+        F.min(id_col).alias(id_col)
     )
-    return withh.join(first_key, ["content_sha", "doc_id"], "left_semi")
+    return withh.join(first_key, ["content_sha", id_col], "left_semi")
 
 
 def anti_join_seen(df: DataFrame, seen: DataFrame, hash_col: Column,
@@ -58,6 +59,21 @@ def _is_small(df: DataFrame, limit: int = 1_000_000) -> bool:
         return df.limit(limit + 1).count() <= limit
     except Exception:  # noqa: BLE001
         return False
+
+
+def register_hashes(seen_path: str, new_hashes: DataFrame) -> None:
+    """D6: insert-if-new registration (deduplicator.py:143-161) — append the
+    batch's hashes to the seen_hashes table. At 10^12 scale this is an
+    Iceberg MERGE on a table bucketed by hash; parquet append + the anti-join
+    gate gives the same semantics here (duplicate registrations are harmless:
+    the gate is a semi-join, not a counter)."""
+    new_hashes.select("hash", "kind", "source").dropDuplicates(["hash", "kind"]) \
+        .write.mode("append").parquet(seen_path)
+
+
+def dedup_stats(seen: DataFrame) -> DataFrame:
+    """A5: counts per namespace (deduplicator.py:318-326)."""
+    return seen.groupBy("kind").agg(F.count("*").alias("n_hashes"))
 
 
 # --- MinHash + LSH -------------------------------------------------------------

@@ -62,7 +62,14 @@ class ExtractionPipeline:
 
     # -- run --------------------------------------------------------------------
     def run(self, pages: DataFrame, run_id: str = "run0",
-            with_chunks: bool = True) -> dict:
+            with_chunks: bool = True, fmt: str = "parquet") -> dict:
+        """`fmt='json'` mirrors the reference's JSONL sinks (K2/K3,
+        writer.py:110-165) — same rows, line-delimited; parquet is the
+        scale default (columnar, prunable)."""
+        return self._run(pages, run_id, with_chunks, fmt)
+
+    def _run(self, pages: DataFrame, run_id: str,
+             with_chunks: bool, fmt: str) -> dict:
         todo = self.pending(pages)
         # fused extract+chunk: one Arrow stage, no chunking shuffle
         docs = extract_docs_full(todo, self.partitions)
@@ -75,13 +82,14 @@ class ExtractionPipeline:
         n_docs = docs_m.count()
 
         (docs_m.drop("blocks", "chunks")
-         .write.mode("append").parquet(self.docs_path))
+         .write.mode("append").format(fmt).save(self.docs_path))
 
         blocks = explode_blocks(docs_m.drop("chunks"))
-        blocks.write.mode("append").parquet(self.blocks_path)
+        blocks.write.mode("append").format(fmt).save(self.blocks_path)
 
         if with_chunks:
-            explode_chunks(docs_m).write.mode("append").parquet(self.chunks_path)
+            (explode_chunks(docs_m)
+             .write.mode("append").format(fmt).save(self.chunks_path))
 
         manifest = docs_m.select(
             F.lit(run_id).alias("run_id"),

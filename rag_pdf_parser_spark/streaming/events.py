@@ -39,6 +39,33 @@ def hourly_event_stats(events: DataFrame) -> DataFrame:
     )
 
 
+def user_running_stats_stateful(events_stream: DataFrame) -> DataFrame:
+    """Custom stateful streaming operator via applyInPandasWithState:
+    per-user running event count + running value sum, state carried across
+    micro-batches (the §2.10 'custom stateful operator' slot). Emits the
+    updated totals for every user seen in each batch."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState
+
+    output_schema = "user_id long, n_events long, total_value double"
+    state_schema = "n long, v double"
+
+    def update(key, pdfs, state: GroupState):
+        n, v = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            v += float(pdf["value"].sum())
+        state.update((n, v))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n],
+             "total_value": [round(v, 4)]}
+        )
+
+    return events_stream.groupBy("user_id").applyInPandasWithState(
+        update, output_schema, state_schema, "update", "NoTimeout"
+    )
+
+
 def run_stream_once(spark: SparkSession, src_parquet: str, schema,
                     checkpoint: str, query_name: str = "hourly") -> DataFrame:
     """Drive the streaming aggregation over a static parquet dir with

@@ -103,3 +103,53 @@ def test_decode_stub_raises(spark):
 
     with pytest.raises(NotImplementedError):
         decode_image_stub(b"\x89PNG")
+
+
+def test_stateful_streaming_carries_state_across_batches(spark, tmp_path):
+    """applyInPandasWithState: per-user running totals with state carried
+    across micro-batches (two files, maxFilesPerTrigger=1) must equal the
+    batch groupBy totals."""
+    from rag_pdf_parser_spark.streaming.events import user_running_stats_stateful
+
+    events = spark.read.parquet(os.path.join(SF_DIR, "events.parquet"))
+    src = tmp_path / "ev2"
+    src.mkdir()
+    events.where(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(
+        str(src / "a"))
+    events.where(F.col("event_id") % 2 == 1).coalesce(1).write.parquet(
+        str(src / "b"))
+    # flatten the two file sets into one dir
+    import glob
+    import shutil
+    for i, f in enumerate(sorted(glob.glob(str(src / "*" / "*.parquet")))):
+        shutil.copy(f, src / f"part{i}.parquet")
+
+    stream = (spark.readStream.schema(events.schema)
+              .option("maxFilesPerTrigger", 1)
+              .parquet(str(src) + "/part*.parquet"))
+    out = user_running_stats_stateful(stream)
+    q = (out.writeStream.outputMode("update").format("memory")
+         .queryName("t_state")
+         .option("checkpointLocation", str(tmp_path / "ckpt2"))
+         .start())
+    q.processAllAvailable()
+    q.stop()
+    # last emitted row per user = final running totals
+    rows = spark.sql(
+        "SELECT user_id, n_events, total_value FROM t_state"
+    ).collect()
+    final = {}
+    for r in rows:  # memory sink appends per batch; keep max n_events
+        cur = final.get(r["user_id"])
+        if cur is None or r["n_events"] > cur[0]:
+            final[r["user_id"]] = (r["n_events"], r["total_value"])
+    batch = {
+        r["user_id"]: (r["n"], r["v"])
+        for r in events.groupBy("user_id").agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 4).alias("v")).collect()
+    }
+    assert set(final) == set(batch)
+    for u, (n, v) in batch.items():
+        assert final[u][0] == n, u
+        assert abs(final[u][1] - v) < 1e-6, u
