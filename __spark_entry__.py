@@ -318,18 +318,21 @@ def q_order_priority_counts(spark, sf_dir):
 
 
 def q_hourly_event_stats(spark, sf_dir):
-    """Tumbling-window agg (streaming twin, streaming/events.py) — emitted
-    as formatted strings for engine-portable comparison."""
-    e = _t(spark, sf_dir, "events").withColumn("ts", F.col("ts").cast("timestamp"))
+    """Tumbling-window agg (streaming twin, streaming/events.py) — grouped
+    by date_trunc on the NTZ timestamp (timezone-independent, unlike
+    window(), whose hour boundaries shift under half-hour-offset session
+    timezones) and emitted as formatted strings for engine portability."""
+    e = _t(spark, sf_dir, "events")
+    hour = F.date_trunc("hour", F.col("ts"))
     return (
-        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        e.groupBy(hour.alias("h"), "event_type")
         .agg(
             F.count("*").alias("n_events"),
             F.round(F.sum(F.col("value").cast("decimal(18,6)")), 4)
             .cast("double").alias("sum_value"),
         )
         .select(
-            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("hour_start"),
+            F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("hour_start"),
             "event_type", "n_events", "sum_value",
         )
     )

@@ -153,3 +153,35 @@ def test_stateful_streaming_carries_state_across_batches(spark, tmp_path):
     for u, (n, v) in batch.items():
         assert final[u][0] == n, u
         assert abs(final[u][1] - v) < 1e-6, u
+
+
+def test_salted_repartition_defuses_host_skew(spark):
+    """North-rule skew demonstration: a pathologically skewed host
+    distribution (90% of pages on one host) still yields balanced
+    extraction partitions after repartition(n, xxhash64(url))."""
+    import pandas as pd
+
+    from rag_pdf_parser_spark.schema import PAGES_SCHEMA
+
+    rows = []
+    for i in range(2000):
+        host = "bighost" if i % 10 != 0 else f"host{i}"
+        rows.append((f"https://{host}.example/p/{i}", None,
+                     b"<html><body><p>skew test page</p></body></html>", "", "en"))
+    pdf = pd.DataFrame(rows, columns=["url", "warc_ts", "html", "text", "lang"])
+    pages = spark.createDataFrame(pdf, schema=PAGES_SCHEMA)
+
+    salted = pages.repartition(8, F.xxhash64("url"))
+    sizes = [r["n"] for r in salted.groupBy(F.spark_partition_id().alias("p"))
+             .agg(F.count("*").alias("n")).collect()]
+    assert len(sizes) == 8
+    # perfectly skewed key (host) — but url-hash spreads rows uniformly:
+    # no partition more than 2x the mean
+    mean = sum(sizes) / len(sizes)
+    assert max(sizes) < 2 * mean, sizes
+
+    # contrast: partitioning BY HOST concentrates 90% in one partition
+    by_host = pages.repartition(8, F.regexp_extract("url", r"https://([^.]+)", 1))
+    sizes_h = [r["n"] for r in by_host.groupBy(F.spark_partition_id().alias("p"))
+               .agg(F.count("*").alias("n")).collect()]
+    assert max(sizes_h) > 5 * (sum(sizes_h) / len(sizes_h)), sizes_h
