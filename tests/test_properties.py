@@ -1,0 +1,125 @@
+"""Property-based tests (hypothesis) — invariants the reference never
+checked (SURVEY §5: 'no property-based tests' in the reference)."""
+
+import re
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from rag_pdf_parser_spark.kernel import (
+    ChunkingConfig,
+    chunk_blocks,
+    detect_language,
+    estimate_tokens,
+    extract_document,
+)
+from rag_pdf_parser_spark.kernel.htmlx import decode_html
+from rag_pdf_parser_spark.kernel.mdseg import segment_markdown
+
+TEXT = st.text(
+    alphabet=st.characters(
+        codec="utf-8", exclude_categories=("Cs",)
+    ),
+    max_size=300,
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(TEXT)
+def test_lang_detect_total_and_deterministic(s):
+    out = detect_language(s)
+    assert out in ("ko", "zh", "en", "unknown")
+    assert detect_language(s) == out
+
+
+@settings(max_examples=200, deadline=None)
+@given(TEXT)
+def test_token_estimate_bounds(s):
+    n = estimate_tokens(s)
+    assert 0 <= n <= len(s)  # cjk/1.5 and other/4 both <= 1 token per char
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.binary(max_size=2000))
+def test_extract_never_raises_and_is_deterministic(raw):
+    a = extract_document(raw)
+    b = extract_document(raw)
+    assert a == b
+    assert a["doc_id"] == b["doc_id"] and len(a["doc_id"]) == 16
+    # blocks always carry consistent reading order 0..n-1
+    assert [blk["reading_order"] for blk in a["blocks"]] == list(
+        range(len(a["blocks"]))
+    )
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.binary(max_size=1000))
+def test_decode_total(raw):
+    text, charset, failure = decode_html(raw)
+    assert isinstance(text, str)
+    assert failure in (None, "EMPTY_HTML", "OVERSIZE_TRUNCATED")
+
+
+_BLOCK_TEXT = st.text(
+    alphabet=st.characters(codec="utf-8", exclude_categories=("Cs",)),
+    min_size=1, max_size=120,
+).filter(lambda s: s.strip())
+
+
+@st.composite
+def block_lists(draw):
+    n = draw(st.integers(min_value=1, max_value=25))
+    blocks = []
+    for i in range(n):
+        btype = draw(st.sampled_from(
+            ["text", "text", "text", "section_header", "title", "table"]))
+        text = draw(_BLOCK_TEXT)
+        blocks.append({
+            "page": 1 + i // 10,
+            "block_id": f"p{1 + i // 10}_b{i}",
+            "type": btype,
+            "reading_order": i,
+            "text": text,
+            "markdown": text,
+            "anchor": f"[@p{1 + i // 10}_x{i}]",
+        })
+    return blocks
+
+
+@settings(max_examples=150, deadline=None)
+@given(block_lists(), st.integers(min_value=5, max_value=60),
+       st.integers(min_value=0, max_value=10))
+def test_chunker_invariants(blocks, chunk_size, overlap):
+    cfg = ChunkingConfig(chunk_size=chunk_size, overlap_tokens=overlap,
+                         min_chunk_size=2, max_chunk_size=chunk_size * 2)
+    chunks = chunk_blocks(blocks, "d" * 16, cfg)
+    assert chunks, "non-empty input must yield at least one chunk"
+    all_ids = [b["block_id"] for b in blocks]
+    covered = set()
+    prev_order_start = -1
+    for i, c in enumerate(chunks):
+        assert c["chunk_id"] == f"dddddddd_c{i}"
+        assert c["block_ids"], "chunks are never empty"
+        assert set(c["block_ids"]) <= set(all_ids)
+        assert c["reading_order_start"] <= c["reading_order_end"]
+        assert c["reading_order_start"] >= prev_order_start
+        prev_order_start = c["reading_order_start"]
+        assert c["char_count"] == len(c["text"])
+        covered.update(c["block_ids"])
+    # every block lands in some chunk (overlap may duplicate, never drop)
+    assert covered == set(all_ids)
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.text(max_size=500))
+def test_mdseg_total_and_ordered(md):
+    blocks = segment_markdown(md)
+    assert [b["reading_order"] for b in blocks] == list(range(len(blocks)))
+    for b in blocks:
+        assert b["type"] in ("text", "title", "section_header", "table",
+                             "figure", "formula")
+    # non-whitespace input yields at least one block when it has a
+    # non-table, non-blank line
+    if any(ln.strip() and not re.match(r"^\|[\s\-|]+\|$", ln.strip())
+           for ln in md.split("\n")):
+        assert blocks

@@ -185,3 +185,39 @@ def test_salted_repartition_defuses_host_skew(spark):
     sizes_h = [r["n"] for r in by_host.groupBy(F.spark_partition_id().alias("p"))
                .agg(F.count("*").alias("n")).collect()]
     assert max(sizes_h) > 5 * (sum(sizes_h) / len(sizes_h)), sizes_h
+
+
+def test_streaming_incremental_extraction(spark, tmp_path):
+    """Incremental extraction: the SAME mapInPandas extraction stage runs on
+    a streaming pages source (micro-batched files); results equal batch."""
+    from rag_pdf_parser_spark.operators.extract import extract_docs
+    from rag_pdf_parser_spark.schema import PAGES_SCHEMA
+    from rag_pdf_parser_spark.sources.pages import synth_pages
+
+    pages = synth_pages(spark, 60)
+    src = tmp_path / "pages_src"
+    pages.where(F.pmod(F.xxhash64("url"), F.lit(2)) == 0).write.parquet(str(src / "a"))
+    pages.where(F.pmod(F.xxhash64("url"), F.lit(2)) == 1).write.parquet(str(src / "b"))
+    import glob
+    import shutil
+    src.mkdir(exist_ok=True)
+    for i, f in enumerate(sorted(glob.glob(str(src / "*" / "*.parquet")))):
+        shutil.copy(f, src / f"part{i}.parquet")
+
+    stream = (spark.readStream.schema(PAGES_SCHEMA)
+              .option("maxFilesPerTrigger", 2)
+              .parquet(str(src) + "/part*.parquet"))
+    out = extract_docs(stream, salt=False)  # no repartition on streams
+    q = (out.select("url", "doc_id", "extracted_text")
+         .writeStream.outputMode("append").format("memory")
+         .queryName("t_extract_stream")
+         .option("checkpointLocation", str(tmp_path / "ckpt3"))
+         .start())
+    q.processAllAvailable()
+    q.stop()
+    stream_rows = {r["url"]: (r["doc_id"], r["extracted_text"])
+                   for r in spark.sql("SELECT * FROM t_extract_stream").collect()}
+    batch_rows = {r["url"]: (r["doc_id"], r["extracted_text"])
+                  for r in extract_docs(pages).select(
+                      "url", "doc_id", "extracted_text").collect()}
+    assert stream_rows == batch_rows

@@ -197,3 +197,18 @@ def test_render_markdown_doc(spark, pages_df, golden_docs):
             pos = nxt
         if g["n_pages"] > 1:
             assert "<!-- Page 2 -->" in md
+
+
+def test_sorted_chunker_equals_grouped_map(spark, pages_df):
+    """The batch-amortized mapInPandas chunker must produce exactly the
+    grouped-map chunker's rows."""
+    from rag_pdf_parser_spark.operators.chunking import chunk_documents_sorted
+
+    blocks = explode_blocks(extract_docs(pages_df))
+    a = chunk_documents(blocks).select("chunk_id", "doc_id", "text",
+                                       "token_count", "section", "block_ids")
+    b = chunk_documents_sorted(blocks).select("chunk_id", "doc_id", "text",
+                                              "token_count", "section",
+                                              "block_ids")
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0
