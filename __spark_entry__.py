@@ -503,6 +503,32 @@ def q_ann_topk(spark, sf_dir):
                     n_bits=16, bands=8)
 
 
+def q_extract_pdf_mixed(spark, sf_dir):
+    """PDF lane + §2.9 dispatch registry: a mixed HTML/PDF corpus through
+    ONE extraction stage, kernel chosen per row by byte-sniffing
+    (stdlib-PDF text runs → XY-cut reading order → typed blocks)."""
+    import pandas as pd
+
+    from rag_pdf_parser_spark.datagen import make_pages
+    from rag_pdf_parser_spark.kernel.pdfx import make_pdf
+    from rag_pdf_parser_spark.operators.registry import extract_dispatch
+    from rag_pdf_parser_spark.schema import PAGES_SCHEMA
+
+    rows = [(p["url"], None, p["html"], "", "en") for p in make_pages(80)]
+    rows += [(f"pdf://doc/{i}", None, make_pdf(i), "", "en")
+             for i in range(80)]
+    pages = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["url", "warc_ts", "html", "text", "lang"]),
+        schema=PAGES_SCHEMA,
+    )
+    docs = extract_dispatch(pages)
+    return docs.select(
+        "url", "doc_id", "charset", "failure_code", "n_pages",
+        F.size("blocks").alias("n_blocks"),
+        F.length("extracted_text").alias("n_chars"),
+    )
+
+
 def q_chunk_provenance(spark, sf_dir):
     """J5: chunk↔block provenance — explode chunk.block_ids and equi-join
     back to blocks (chunking.py:161 / block.py:210-224 viewer path)."""
@@ -597,6 +623,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "xy_cut_order": q_xy_cut_order,
         "markdown_segment": q_markdown_segment,
         "chunk_provenance": q_chunk_provenance,
+        "extract_pdf_mixed": q_extract_pdf_mixed,
     }
 
 
