@@ -383,6 +383,40 @@ def q_page_merge_rule(spark, sf_dir):
     return d.select("doc_id", decision.alias("merge_kind"))
 
 
+def q_embedding_near_dups(spark, sf_dir):
+    """Embedding-cosine near-dup detection (training-data dedup flavor):
+    all pairs among every 5th vector with cosine >= 0.9 (rounded 4dp for
+    engine portability)."""
+    from rag_pdf_parser_spark.functions import cosine_expr
+
+    e = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") % 5 == 0)
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    return (
+        a.crossJoin(b)
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b",
+                F.round(cosine_expr(F.col("va"), F.col("vb")), 4).alias("cosine"))
+        .where(F.col("cosine") >= 0.9)
+    )
+
+
+def q_token_counts(spark, sf_dir):
+    """Token counting, three estimators side by side: whitespace tokens,
+    BPE-ish regex pieces (letters runs | digits | punct | space runs), and
+    the reference's CJK-weighted estimate (A3)."""
+    d = _t(spark, sf_dir, "documents")
+    ws = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    bpe = F.size(F.regexp_extract_all(
+        F.col("text"), F.lit(r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]|\s+"), 0))
+    return d.select(
+        "doc_id",
+        ws.alias("n_ws_tokens"),
+        bpe.alias("n_bpe_pieces"),
+        token_estimate_expr(F.col("text")).alias("token_est"),
+    )
+
+
 def q_heading_level(spark, sf_dir):
     """X11: heading heuristics (heading.py:8-35 [legacy]) as an expression:
     '^(Chapter|Section) N' → 1, ALLCAPS → 2, Title Case → 3, else 0 —
@@ -606,6 +640,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "section_carry_events": q_section_carry_events,
         "page_merge_rule": q_page_merge_rule,
         "heading_level": q_heading_level,
+        "embedding_near_dups": q_embedding_near_dups,
+        "token_counts": q_token_counts,
         "rollup_order_counts": q_rollup_order_counts,
         "customers_with_orders": q_customers_with_orders,
         "supplier_distinct_parts": q_supplier_distinct_parts,
@@ -964,6 +1000,30 @@ def oracle_sql() -> dict[str, str]:
                      OVER (PARTITION BY user_id ORDER BY ts, event_id
                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_login_event
             FROM events
+        """,
+        "embedding_near_dups": """
+            WITH v AS (
+              SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+              WHERE vec_id % 5 = 0
+            ),
+            pairs AS (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                     round(list_dot_product(a.e, b.e)
+                           / (sqrt(list_dot_product(a.e, a.e))
+                              * sqrt(list_dot_product(b.e, b.e))), 4) AS cosine
+              FROM v a, v b WHERE a.vec_id < b.vec_id
+            )
+            SELECT id_a, id_b, cosine FROM pairs WHERE cosine >= 0.9
+        """,
+        "token_counts": f"""
+            SELECT doc_id,
+                   len(string_split_regex(trim(text), '\\s+')) AS n_ws_tokens,
+                   len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]|\\s+')) AS n_bpe_pieces,
+                   CAST(floor(
+                     (length(text) - length(regexp_replace(text, '{_TOKEN_CJK}', '', 'g'))) / 1.5
+                     + (length(regexp_replace(text, '{_TOKEN_CJK}', '', 'g'))) / 4.0
+                   ) AS INT) AS token_est
+            FROM documents
         """,
         "heading_level": """
             WITH f AS (
