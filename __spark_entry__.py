@@ -62,9 +62,11 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship: full extraction pipeline over the synthetic pages table —
-    scan → salted repartition → kernel extraction (mapInPandas) → exploded
-    blocks → per-doc metadata + title + chunk counts."""
+    """Flagship: the full extraction pipeline over the synthetic pages table
+    (scan → salted repartition → kernel extraction via mapInPandas →
+    exploded blocks → per-doc metadata + title + chunk counts), enriched by
+    a broadcast join against corpus language statistics computed from the
+    driver's /root/testdata/sf0.001/documents.parquet."""
     pages = synth_pages(spark, 300)
     docs = extract_docs(pages)
     blocks = explode_blocks(docs)
@@ -74,15 +76,24 @@ def entry(spark: SparkSession) -> DataFrame:
         F.count("*").alias("n_chunks"),
         F.sum("token_count").alias("total_tokens"),
     )
-    return (
-        docs.select("url", "doc_id", "n_pages", "failure_code")
+    corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    lang_stats = corpus.groupBy(
+        lang_expr(F.col("text")).alias("doc_lang")
+    ).agg(
+        F.round(F.avg(token_estimate_expr(F.col("text"))), 2)
+        .alias("corpus_avg_tokens")
+    )
+    per_doc = (
+        docs.select("url", "doc_id", "n_pages", "failure_code",
+                    lang_expr(F.col("extracted_text")).alias("doc_lang"))
         .join(meta, "doc_id", "left")
         .join(titles, "doc_id", "left")
         .join(chunks, "doc_id", "left")
-        .select(
-            "url", "doc_id", "n_pages", "failure_code", "title",
-            "total_blocks", "total_text_chars", "n_chunks", "total_tokens",
-        )
+    )
+    return per_doc.join(F.broadcast(lang_stats), "doc_lang", "left").select(
+        "url", "doc_id", "n_pages", "failure_code", "title", "doc_lang",
+        "total_blocks", "total_text_chars", "n_chunks", "total_tokens",
+        "corpus_avg_tokens",
     )
 
 
