@@ -428,6 +428,16 @@ def q_token_counts(spark, sf_dir):
     )
 
 
+def q_dict_translate(spark, sf_dir):
+    """M6 slot: deterministic dictionary translation (token-map expression;
+    reference translator.py:42-109 with the model call replaced by a fixed
+    lexicon per the north rule)."""
+    from rag_pdf_parser_spark.operators.translate import dict_translate_expr
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", dict_translate_expr(F.col("text")).alias("translated"))
+
+
 def q_heading_level(spark, sf_dir):
     """X11: heading heuristics (heading.py:8-35 [legacy]) as an expression:
     '^(Chapter|Section) N' → 1, ALLCAPS → 2, Title Case → 3, else 0 —
@@ -609,6 +619,16 @@ def q_markdown_segment(spark, sf_dir):
     return segment_markdown_docs(d)
 
 
+def q_ivf_topk(spark, sf_dir):
+    """IVF ANN (coarse k-means quantizer + probed-list exact re-rank) —
+    the partition-pruning scale path for similarity search."""
+    from rag_pdf_parser_spark.operators.similarity import ivf_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    return ivf_topk(e, e.where(F.col("vec_id") < 5), dim=64, k=3,
+                    n_lists=8, n_probe=3)
+
+
 def q_image_features(spark, sf_dir):
     """Multimodal plumbing: binary column → mapInPandas feature extraction
     (decode stubbed — deterministic byte-level stand-ins)."""
@@ -651,6 +671,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "section_carry_events": q_section_carry_events,
         "page_merge_rule": q_page_merge_rule,
         "heading_level": q_heading_level,
+        "dict_translate": q_dict_translate,
         "embedding_near_dups": q_embedding_near_dups,
         "token_counts": q_token_counts,
         "rollup_order_counts": q_rollup_order_counts,
@@ -666,6 +687,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_xx": q_minhash_lsh_xx,
         "simhash64": q_simhash64,
         "ann_topk": q_ann_topk,
+        "ivf_topk": q_ivf_topk,
         "image_features": q_image_features,
         "xy_cut_order": q_xy_cut_order,
         "markdown_segment": q_markdown_segment,
@@ -1034,6 +1056,14 @@ def oracle_sql() -> dict[str, str]:
                      (length(text) - length(regexp_replace(text, '{_TOKEN_CJK}', '', 'g'))) / 1.5
                      + (length(regexp_replace(text, '{_TOKEN_CJK}', '', 'g'))) / 4.0
                    ) AS INT) AS token_est
+            FROM documents
+        """,
+        "dict_translate": """
+            SELECT doc_id,
+                   array_to_string(
+                     list_transform(string_split_regex(text, '\\s+'),
+                       t -> CASE t WHEN '分布' THEN 'distributed' WHEN '分析' THEN 'analysis' WHEN '处理' THEN 'processing' WHEN '学习' THEN 'training' WHEN '引擎' THEN 'engine' WHEN '提取' THEN 'extract' WHEN '数据' THEN 'data' WHEN '文档' THEN 'document' WHEN '模型' THEN 'model' WHEN '管道' THEN 'pipeline' WHEN '系统' THEN 'system' WHEN '结果' THEN 'result' WHEN '语言' THEN 'language' WHEN '速度' THEN 'speed' WHEN '验证' THEN 'verification' WHEN '검증' THEN 'verification' WHEN '결과' THEN 'result' WHEN '데이터' THEN 'data' WHEN '모델' THEN 'model' WHEN '문서' THEN 'document' WHEN '분산' THEN 'distributed' WHEN '분석' THEN 'analysis' WHEN '속도' THEN 'speed' WHEN '시스템' THEN 'system' WHEN '언어' THEN 'language' WHEN '엔진' THEN 'engine' WHEN '처리' THEN 'processing' WHEN '추출' THEN 'extract' WHEN '파이프라인' THEN 'pipeline' WHEN '학습' THEN 'training' ELSE t END),
+                     ' ') AS translated
             FROM documents
         """,
         "heading_level": """

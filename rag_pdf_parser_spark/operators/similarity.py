@@ -125,6 +125,98 @@ def ann_topk(corpus: DataFrame, queries: DataFrame, dim: int, k: int = 5,
     )
 
 
+def _kmeans_fit(sample: np.ndarray, k: int, iters: int = 10,
+                seed: int = 42) -> np.ndarray:
+    """Deterministic Lloyd's k-means on a driver-side sample (the coarse
+    quantizer is a tiny model — fitting it on a bounded sample is standard
+    IVF practice; only centroid LITERALS ship to executors)."""
+    rng = np.random.RandomState(seed)
+    idx = rng.choice(len(sample), size=min(k, len(sample)), replace=False)
+    cents = sample[np.sort(idx)].astype("float64").copy()
+    for _ in range(iters):
+        d = ((sample[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for j in range(len(cents)):
+            members = sample[assign == j]
+            if len(members):
+                cents[j] = members.mean(axis=0)
+    return cents
+
+
+def _nearest_centroid_expr(vec_col: str, cents: np.ndarray):
+    """Native expression: argmin over squared distances to centroid
+    literals — JVM-side assignment, no UDF, no shuffle."""
+    best_id = F.lit(0)
+    best_d = None
+    for j, c in enumerate(cents):
+        lit = F.array(*[F.lit(float(x)) for x in c])
+        d = F.aggregate(
+            F.zip_with(F.col(vec_col), lit,
+                       lambda a, b: (a.cast("double") - b) * (a.cast("double") - b)),
+            F.lit(0.0), lambda acc, v: acc + v,
+        )
+        if best_d is None:
+            best_d, best_id = d, F.lit(j)
+        else:
+            best_id = F.when(d < best_d, F.lit(j)).otherwise(best_id)
+            best_d = F.least(d, best_d)
+    return best_id
+
+
+def ivf_topk(corpus: DataFrame, queries: DataFrame, dim: int, k: int = 5,
+             n_lists: int = 8, n_probe: int = 2, sample_n: int = 512,
+             seed: int = 42, id_col: str = "vec_id",
+             vec_col: str = "embedding") -> DataFrame:
+    """IVF approximate NN: deterministic k-means coarse quantizer (fit on a
+    bounded sample), corpus assigned to its nearest list (native argmin
+    expression), queries probe their `n_probe` nearest lists, exact cosine
+    re-rank inside the probed lists.
+
+    Scale path: at 10^12 rows the corpus is written partitioned by
+    `list_id` (partition pruning makes a query touch only n_probe/n_lists
+    of the data); here the same pruning happens via the list_id equi-join."""
+    sample = np.vstack(
+        [r[0] for r in corpus.select(vec_col).limit(sample_n).collect()]
+    ).astype("float64")
+    cents = _kmeans_fit(sample, n_lists, seed=seed)
+
+    c_assigned = corpus.select(
+        F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cand_v"),
+        _nearest_centroid_expr(vec_col, cents).alias("list_id"),
+    )
+
+    # query → its n_probe nearest lists (tiny side: collect + literal map)
+    q_rows = queries.select(id_col, vec_col).collect()
+    probe_rows = []
+    for r in q_rows:
+        qv = np.array(r[vec_col], dtype="float64")
+        d = ((cents - qv[None, :]) ** 2).sum(axis=1)
+        for lid in np.argsort(d, kind="stable")[:n_probe]:
+            probe_rows.append((int(r[id_col]), list(map(float, qv)), int(lid)))
+    spark = corpus.sparkSession
+    probes = spark.createDataFrame(
+        probe_rows, f"query_id long, query_v array<double>, list_id int"
+    )
+
+    scored = (
+        c_assigned.join(F.broadcast(probes), "list_id")
+        .where(F.col("cand_id") != F.col("query_id"))
+        .select(
+            "query_id", "cand_id",
+            F.round(cosine_expr(F.col("query_v"), F.col("cand_v")), 4)
+            .alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("cand_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "cand_id", "cosine", "rank")
+    )
+
+
 def brute_force_topk_numpy(corpus: DataFrame, queries_pdf: pd.DataFrame,
                            k: int = 5, id_col: str = "vec_id",
                            vec_col: str = "embedding") -> DataFrame:

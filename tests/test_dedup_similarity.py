@@ -152,3 +152,25 @@ def test_ann_recall_against_brute_force(spark, vecs_df):
                                 n_bits=16, bands=8).collect()}
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.6, recall  # clustered data → high bucket collision
+
+
+def test_ivf_recall_against_brute_force(spark, vecs_df):
+    from rag_pdf_parser_spark.operators.similarity import ivf_topk
+
+    queries = vecs_df.where(F.col("vec_id") < 5)
+    exact = {(r["query_id"], r["cand_id"])
+             for r in brute_force_topk(vecs_df, queries, k=3).collect()}
+    approx = {(r["query_id"], r["cand_id"])
+              for r in ivf_topk(vecs_df, queries, dim=16, k=3,
+                                n_lists=5, n_probe=2).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.6, recall  # clustered fixture → probed lists cover neighbors
+
+
+def test_ivf_deterministic(spark, vecs_df):
+    from rag_pdf_parser_spark.operators.similarity import ivf_topk
+
+    queries = vecs_df.where(F.col("vec_id") < 3)
+    a = sorted(map(tuple, ivf_topk(vecs_df, queries, dim=16, k=3).collect()))
+    b = sorted(map(tuple, ivf_topk(vecs_df, queries, dim=16, k=3).collect()))
+    assert a == b

@@ -1,6 +1,8 @@
 """XY-cut reading order (W3) and markdown segmentation (X7) — kernel units
 plus Spark-operator equality with the kernel."""
 
+from pyspark.sql import functions as F
+
 from rag_pdf_parser_spark.kernel.layout import make_boxes, sort_boxes
 from rag_pdf_parser_spark.kernel.mdseg import segment_markdown
 from rag_pdf_parser_spark.operators.layout import (
@@ -119,3 +121,28 @@ def test_mdseg_operator_matches_kernel(spark, pages_df, golden_docs):
         for h, e in zip(have, expect):
             assert (h["type"], h["text"], h["markdown"]) == (
                 e["type"], e["text"], e["markdown"])
+
+
+class TestTranslateSlot:
+    def test_dict_translate(self, spark):
+        from rag_pdf_parser_spark.operators.translate import dict_translate_expr
+
+        df = spark.createDataFrame(
+            [("데이터 엔진 unknown 모델",), ("plain english text",)],
+            "text string")
+        got = [r["t"] for r in df.select(
+            dict_translate_expr(F.col("text")).alias("t")).collect()]
+        assert got[0] == "data engine unknown model"
+        assert got[1] == "plain english text"
+
+    def test_bilingual_interleave(self, spark):
+        from rag_pdf_parser_spark.operators.translate import bilingual_interleave
+
+        df = spark.createDataFrame(
+            [("b1", "ko", "데이터 모델"), ("b2", "en", "hello world")],
+            "block_id string, lang string, text string")
+        rows = {r["block_id"]: r for r in bilingual_interleave(df).collect()}
+        assert rows["b1"]["bilingual"] == "데이터 모델\n\n*data model*"
+        assert rows["b1"]["translation"] == "data model"
+        assert rows["b2"]["bilingual"] == "hello world"
+        assert rows["b2"]["translation"] is None
