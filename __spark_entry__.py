@@ -46,7 +46,6 @@ from rag_pdf_parser_spark.operators.dedup import (
     simhash,
 )
 from rag_pdf_parser_spark.operators.extract import explode_blocks, extract_docs
-from rag_pdf_parser_spark.operators.metadata import doc_metadata, first_title
 from rag_pdf_parser_spark.operators.multimodal import image_features
 from rag_pdf_parser_spark.operators.pagemerge import assemble_text_native
 from rag_pdf_parser_spark.operators.similarity import ann_topk, brute_force_topk
@@ -62,20 +61,18 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship: the full extraction pipeline over the synthetic pages table
-    (scan → salted repartition → kernel extraction via mapInPandas →
-    exploded blocks → per-doc metadata + title + chunk counts), enriched by
-    a broadcast join against corpus language statistics computed from the
-    driver's /root/testdata/sf0.001/documents.parquet."""
-    pages = synth_pages(spark, 300)
-    docs = extract_docs(pages)
-    blocks = explode_blocks(docs)
-    meta = doc_metadata(blocks)
-    titles = first_title(blocks)
-    chunks = chunk_documents(blocks).groupBy("doc_id").agg(
-        F.count("*").alias("n_chunks"),
-        F.sum("token_count").alias("total_tokens"),
-    )
+    """Flagship: the full extraction pipeline in its production plan shape —
+    distributed page generation → salted repartition → ONE fused
+    extract+chunk Arrow stage (`extract_docs_full`: blocks AND chunks nested,
+    no grouped-map shuffle) → per-doc stats as pure array expressions over
+    the nested columns (zero explode, zero self-join) → one broadcast join
+    against corpus language statistics from the driver's sf0.001 documents
+    table. Plan: scan → Exchange(xxhash64(url)) → MapInPandas → Project →
+    BroadcastHashJoin. Exactly one Python stage."""
+    from rag_pdf_parser_spark.operators.extract import extract_docs_full
+    from rag_pdf_parser_spark.sources.pages import synth_pages_dist
+
+    docs = extract_docs_full(synth_pages_dist(spark, 300))
     corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     lang_stats = corpus.groupBy(
         lang_expr(F.col("text")).alias("doc_lang")
@@ -83,12 +80,22 @@ def entry(spark: SparkSession) -> DataFrame:
         F.round(F.avg(token_estimate_expr(F.col("text"))), 2)
         .alias("corpus_avg_tokens")
     )
-    per_doc = (
-        docs.select("url", "doc_id", "n_pages", "failure_code",
-                    lang_expr(F.col("extracted_text")).alias("doc_lang"))
-        .join(meta, "doc_id", "left")
-        .join(titles, "doc_id", "left")
-        .join(chunks, "doc_id", "left")
+    long0 = F.lit(0).cast("long")
+    per_doc = docs.select(
+        "url", "doc_id", "n_pages", "failure_code",
+        F.try_element_at(
+            F.filter("blocks", lambda b: b["type"] == "title"), F.lit(1)
+        )["text"].alias("title"),
+        lang_expr(F.col("extracted_text")).alias("doc_lang"),
+        F.size("blocks").alias("total_blocks"),
+        F.aggregate(
+            "blocks", long0,
+            lambda acc, b: acc + F.coalesce(F.length(b["text"]).cast("long"), long0),
+        ).alias("total_text_chars"),
+        F.size("chunks").alias("n_chunks"),
+        F.aggregate(
+            "chunks", long0, lambda acc, c: acc + c["token_count"].cast("long")
+        ).alias("total_tokens"),
     )
     return per_doc.join(F.broadcast(lang_stats), "doc_lang", "left").select(
         "url", "doc_id", "n_pages", "failure_code", "title", "doc_lang",

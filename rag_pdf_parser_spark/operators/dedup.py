@@ -42,23 +42,24 @@ def exact_dedup(df: DataFrame, content_col: str = "text",
 
 
 def anti_join_seen(df: DataFrame, seen: DataFrame, hash_col: Column,
-                   kind: str) -> DataFrame:
+                   kind: str, broadcast: bool | None = None) -> DataFrame:
     """J2/F7: drop rows whose hash is registered in seen_hashes (the
-    reference's dedup-gate, deduplicator.py:114-141). Broadcast when small;
-    at 10^12 scale the seen table is bucketed by hash."""
+    reference's dedup-gate, deduplicator.py:114-141).
+
+    `broadcast`: the caller knows which regime it is in — True forces a
+    broadcast hint (small registry), False forces shuffle (at 10^12 scale
+    the seen table is bucketed by hash so the anti-join is shuffle-free
+    anyway), None (default) leaves the decision to AQE /
+    autoBroadcastJoinThreshold. No driver-side count() fires during plan
+    construction in any mode."""
     s = seen.where(F.col("kind") == kind).select(F.col("hash").alias("__h"))
+    if broadcast:
+        s = F.broadcast(s)
     return (
         df.withColumn("__h", hash_col)
-        .join(F.broadcast(s) if _is_small(s) else s, "__h", "left_anti")
+        .join(s, "__h", "left_anti")
         .drop("__h")
     )
-
-
-def _is_small(df: DataFrame, limit: int = 1_000_000) -> bool:
-    try:
-        return df.limit(limit + 1).count() <= limit
-    except Exception:  # noqa: BLE001
-        return False
 
 
 def register_hashes(seen_path: str, new_hashes: DataFrame) -> None:
@@ -161,20 +162,31 @@ def simhash(df: DataFrame, text_col: str = "text", bits: int = 64) -> DataFrame:
         .otherwise(F.lit(-1)).cast("long")
         for b in range(bits)
     ])
-    out = df.withColumn("__votes", F.aggregate(hashes, init, merge))
-    # materialization barrier: 64 downstream element_at reads must hit a
-    # computed column, not re-trigger the aggregate (CollapseProject)
-    out = out.repartition(
-        int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    votes = F.aggregate(hashes, init, merge)
+    # Fingerprint assembly folded into a SECOND aggregate whose *argument* is
+    # the votes array: a higher-order function evaluates its argument exactly
+    # once per row, so the expensive vote aggregate runs once even though 64
+    # bits read it — no CollapseProject duplication, hence no materialization
+    # barrier and ZERO shuffle for the whole fingerprint pass. (An earlier
+    # revision used a repartition() barrier here, which at corpus scale
+    # shuffled the full text column just to stop re-evaluation.)
+    # Bit values come from a literal array (1L << b, with b=63 the
+    # two's-complement -(2^63) the signed fingerprint needs).
+    bitvals = F.array(*[
+        F.lit(2 ** b if b < 63 else -(2 ** 63)).cast("long") for b in range(bits)
+    ])
+    fingerprint = F.aggregate(
+        votes,
+        F.struct(F.lit(0).cast("long").alias("fp"), F.lit(0).alias("b")),
+        lambda acc, v: F.struct(
+            (acc["fp"] + F.when(
+                v > 0, F.element_at(bitvals, acc["b"] + 1)
+            ).otherwise(F.lit(0).cast("long"))).alias("fp"),
+            (acc["b"] + 1).alias("b"),
+        ),
+        lambda acc: acc["fp"],
     )
-    fingerprint = None
-    for b in range(bits):
-        bit_val = 2 ** b if b < 63 else -(2 ** 63)
-        term = F.when(
-            F.element_at("__votes", b + 1) > 0, F.lit(bit_val).cast("long")
-        ).otherwise(F.lit(0).cast("long"))
-        fingerprint = term if fingerprint is None else fingerprint + term
-    return out.withColumn("simhash", fingerprint).drop("__votes")
+    return df.withColumn("simhash", fingerprint)
 
 
 def simhash_hamming(a: Column, b: Column) -> Column:

@@ -163,30 +163,59 @@ def _nearest_centroid_expr(vec_col: str, cents: np.ndarray):
     return best_id
 
 
+def quantizer_sample(corpus: DataFrame, sample_n: int = 512,
+                     id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> np.ndarray:
+    """Deterministic bounded sample for the coarse quantizer: rows ranked by
+    (xxhash64(id), id) — a stable pseudo-random order independent of
+    partitioning — taken via TakeOrderedAndProject (per-partition top-N
+    heaps, no global sort materialization). `limit` without an order is NOT
+    stable across partitionings/runs in Spark; this is (SURVEY §7.4.1
+    determinism discipline)."""
+    rows = (
+        corpus.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
+        .orderBy(F.pmod(F.xxhash64("__id"), F.lit(1_000_003)), "__id")
+        .limit(sample_n)
+        .collect()
+    )
+    return np.vstack([r["__v"] for r in rows]).astype("float64")
+
+
 def ivf_topk(corpus: DataFrame, queries: DataFrame, dim: int, k: int = 5,
              n_lists: int = 8, n_probe: int = 2, sample_n: int = 512,
              seed: int = 42, id_col: str = "vec_id",
-             vec_col: str = "embedding") -> DataFrame:
+             vec_col: str = "embedding", max_queries: int = 4096,
+             centroids: np.ndarray | None = None) -> DataFrame:
     """IVF approximate NN: deterministic k-means coarse quantizer (fit on a
-    bounded sample), corpus assigned to its nearest list (native argmin
-    expression), queries probe their `n_probe` nearest lists, exact cosine
-    re-rank inside the probed lists.
+    bounded deterministic sample), corpus assigned to its nearest list
+    (native argmin expression), queries probe their `n_probe` nearest lists,
+    exact cosine re-rank inside the probed lists.
 
     Scale path: at 10^12 rows the corpus is written partitioned by
     `list_id` (partition pruning makes a query touch only n_probe/n_lists
-    of the data); here the same pruning happens via the list_id equi-join."""
-    sample = np.vstack(
-        [r[0] for r in corpus.select(vec_col).limit(sample_n).collect()]
-    ).astype("float64")
-    cents = _kmeans_fit(sample, n_lists, seed=seed)
+    of the data); here the same pruning happens via the list_id equi-join.
+    The query side is collected to build the probe table — bounded by
+    `max_queries` (the IVF contract is few-queries-vs-huge-corpus; a large
+    query side should rank probe lists distributedly via
+    `_nearest_centroid_expr` instead)."""
+    if centroids is None:
+        sample = quantizer_sample(corpus, sample_n, id_col, vec_col)
+        centroids = _kmeans_fit(sample, n_lists, seed=seed)
+    cents = centroids
 
     c_assigned = corpus.select(
         F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cand_v"),
         _nearest_centroid_expr(vec_col, cents).alias("list_id"),
     )
 
-    # query → its n_probe nearest lists (tiny side: collect + literal map)
-    q_rows = queries.select(id_col, vec_col).collect()
+    # query → its n_probe nearest lists (tiny side: collect + literal map,
+    # bounded — an unbounded collect here would be a driver OOM at scale)
+    q_rows = queries.select(id_col, vec_col).limit(max_queries + 1).collect()
+    if len(q_rows) > max_queries:
+        raise ValueError(
+            f"ivf_topk query side exceeds max_queries={max_queries}; "
+            "compute probe lists distributedly for this regime"
+        )
     probe_rows = []
     for r in q_rows:
         qv = np.array(r[vec_col], dtype="float64")

@@ -174,3 +174,32 @@ def test_ivf_deterministic(spark, vecs_df):
     a = sorted(map(tuple, ivf_topk(vecs_df, queries, dim=16, k=3).collect()))
     b = sorted(map(tuple, ivf_topk(vecs_df, queries, dim=16, k=3).collect()))
     assert a == b
+
+
+def test_ivf_stable_across_partitionings(spark, vecs_df):
+    """The quantizer sample (and hence every IVF answer) must not depend on
+    physical partitioning — the determinism hazard VERDICT r1 #2 flagged."""
+    from rag_pdf_parser_spark.operators.similarity import ivf_topk
+
+    queries = vecs_df.where(F.col("vec_id") < 3)
+    a = sorted(map(tuple,
+                   ivf_topk(vecs_df.repartition(2), queries, dim=16, k=3).collect()))
+    b = sorted(map(tuple,
+                   ivf_topk(vecs_df.repartition(8), queries, dim=16, k=3).collect()))
+    assert a == b
+
+
+def test_ivf_bounds_query_collect(spark, vecs_df):
+    from rag_pdf_parser_spark.operators.similarity import ivf_topk
+
+    with pytest.raises(ValueError, match="max_queries"):
+        ivf_topk(vecs_df, vecs_df, dim=16, k=3, max_queries=10)
+
+
+def test_simhash_plan_has_no_exchange(spark, docs_df):
+    """The fingerprint pass must be shuffle-free (VERDICT r1 #1: an earlier
+    revision repartitioned the full text column as a CollapseProject
+    barrier)."""
+    plan = simhash(docs_df).select("doc_id", "simhash")._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
