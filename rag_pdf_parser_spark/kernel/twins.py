@@ -1,0 +1,102 @@
+"""Pure-Python twins of the engine's xxhash64-based Spark fast paths.
+
+Each function re-computes a whole pipeline result (not just a scalar) with
+zero Spark involvement, on top of kernel.xxh's independent XXH64. They serve
+as golden-oracle generators for the driver correctness gate (the literal
+VALUES oracles in __spark_entry__.oracle_sql) and as pytest equality
+references — if the Spark plan and this code agree row-for-row, the JVM
+expression tree, the Arrow boundary, and the Python reimplementation all
+corroborate each other.
+
+Semantics notes (must match the Spark expressions EXACTLY):
+- Java regex \\s is ASCII [ \\t\\n\\x0B\\f\\r]; Python's re \\s is
+  Unicode-aware — the twins use the explicit ASCII class;
+- Spark F.min over longs is a SIGNED min; xxh values are kept signed;
+- substring(norm, i, 5) near the string tail yields short shingles when
+  len(norm) < 5 (the i-range max(len-4, 1) otherwise stays in bounds).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+from functools import lru_cache
+
+from .xxh import _signed, spark_xxhash64, xxh64_bytes, xxh64_int
+
+_ASCII_WS = re.compile(r"[ \t\n\x0b\f\r]+")
+
+
+def normalized_text(text: str) -> str:
+    """Twin of functions.normalized_text_expr (lower + ws-collapse + trim)."""
+    return _ASCII_WS.sub(" ", text.lower()).strip()
+
+
+def char_shingles(text: str, n: int = 5) -> set[str]:
+    """Twin of functions.char_ngrams_expr: substring(norm, i, n) for
+    i in 1..max(len-n+1, 1), distinct."""
+    norm = normalized_text(text)
+    top = max(len(norm) - (n - 1), 1)
+    return {norm[i:i + n] for i in range(top)}
+
+
+@lru_cache(maxsize=1 << 20)
+def _gram_seed(g: str) -> int:
+    # shingle-hash is independent of the perm index (the chain hashes the
+    # string first); caching it makes golden generation corpus-vocabulary
+    # bound instead of shingles × perms bound
+    return xxh64_bytes(g.encode("utf-8"), 42)
+
+
+def minhash_signature_xx(text: str, n: int = 5, num_perm: int = 8) -> list[int]:
+    """Twin of operators.dedup.minhash_signature flavor='xx': component j =
+    signed min over shingles of xxhash64(shingle, j) — the perm index is a
+    bare F.lit(j) IntegerType literal, hashed through the 4-byte path with
+    the string hash as its seed."""
+    seeds = [_gram_seed(g) for g in char_shingles(text, n)]
+    return [min(_signed(xxh64_int(j, s)) for s in seeds)
+            for j in range(num_perm)]
+
+
+def lsh_pairs_xx(docs: list[tuple], n: int = 5, num_perm: int = 8,
+                 bands: int = 4) -> list[tuple]:
+    """Twin of operators.dedup.lsh_candidate_pairs flavor='xx' over
+    (id, text) rows: banded sha256 buckets, distinct (a < b) pairs."""
+    rows = num_perm // bands
+    buckets: dict[tuple, list] = {}
+    for doc_id, text in docs:
+        sig = minhash_signature_xx(text, n, num_perm)
+        for b in range(bands):
+            key_src = "|".join(str(sig[j]) for j in range(b * rows, (b + 1) * rows))
+            bucket = hashlib.sha256(key_src.encode("utf-8")).hexdigest()
+            buckets.setdefault((b, bucket), []).append(doc_id)
+    pairs = set()
+    for members in buckets.values():
+        ms = sorted(members)
+        for i, a in enumerate(ms):
+            for b_ in ms[i + 1:]:
+                if a != b_:
+                    pairs.add((a, b_))
+    return sorted(pairs)
+
+
+@lru_cache(maxsize=1 << 20)
+def _token_hash(t: str) -> int:
+    return spark_xxhash64(t)
+
+
+def simhash64(text: str) -> int:
+    """Twin of operators.dedup.simhash (bits=64): per-token xxhash64 votes,
+    signed fingerprint with bit 63 as -(2^63). Note F.trim trims ASCII
+    spaces only — mirrored here."""
+    toks = _ASCII_WS.split(text.strip(" ").lower())
+    votes = [0] * 64
+    for t in toks:
+        h = _token_hash(t)
+        for b in range(64):
+            votes[b] += 1 if (h >> b) & 1 else -1
+    fp = 0
+    for b in range(64):
+        if votes[b] > 0:
+            fp += (1 << b) if b < 63 else -(1 << 63)
+    return fp

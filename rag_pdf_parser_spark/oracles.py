@@ -1,0 +1,438 @@
+"""Driver-visible oracles for the non-relational query families.
+
+Two oracle styles, both returning plain ANSI SQL the driver runs on DuckDB:
+
+1. **Independent SQL twins** — the whole computation re-expressed in DuckDB
+   SQL (random-hyperplane ANN, IVF probe/re-rank, average-hash, markdown
+   segmentation on constructed inputs). Nothing is copied from the Spark
+   result; the two engines compute the answer independently.
+
+2. **Kernel-golden VALUES oracles** — for pipelines whose per-document state
+   machines SQL cannot express (HTML/PDF extraction, XY-cut recursion, the
+   chunker, xxhash64 fast paths). The oracle SQL is a `VALUES` table computed
+   at `oracle_sql()` time by the PURE-PYTHON kernel (and, for the xx-hash
+   family, the independent `kernel.xxh`/`kernel.twins` reimplementation) in
+   the DRIVER process. The driver then verifies that the distributed Spark
+   run — executors, Arrow boundary, shuffles — reproduces the local kernel
+   byte-for-byte. This is SURVEY §5.1's byte-identity golden strategy,
+   promoted from pytest to the driver correctness gate.
+
+All generators are deterministic (seeded datagen, pinned kernels) and cached.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+from functools import lru_cache
+
+SF_ORACLE_DIR = "/root/testdata/sf0.01"
+
+
+# --- VALUES rendering --------------------------------------------------------
+
+def _lit(v) -> str:
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "TRUE" if v else "FALSE"
+    if isinstance(v, str):
+        return "'" + v.replace("'", "''") + "'"
+    if isinstance(v, float):
+        return repr(v)
+    return str(v)
+
+
+def values_sql(rows, cols: list[tuple[str, str]]) -> str:
+    """rows + [(name, duckdb_type)] → `SELECT casts FROM (VALUES ...)`."""
+    names = ", ".join(n for n, _ in cols)
+    casts = ", ".join(f"CAST({n} AS {t}) AS {n}" for n, t in cols)
+    if not rows:
+        nulls = ", ".join(f"CAST(NULL AS {t}) AS {n}" for n, t in cols)
+        return f"SELECT {nulls} WHERE FALSE"
+    vals = ",\n".join("(" + ", ".join(_lit(v) for v in r) + ")" for r in rows)
+    return f"SELECT {casts} FROM (VALUES\n{vals}\n) AS t({names})"
+
+
+# --- kernel goldens: extraction family over synthetic pages -------------------
+
+@lru_cache(maxsize=4)
+def _kernel_docs(n_pages: int):
+    from .datagen import make_pages
+    from .kernel.htmlx import extract_document
+
+    return [(p["url"], extract_document(p["html"])) for p in make_pages(n_pages)]
+
+
+def extract_pages_sql(n_pages: int = 300) -> str:
+    rows = [
+        (url, d["doc_id"], d["charset"], d["failure_code"], d["n_pages"],
+         len(d["extracted_text"]), len(d["blocks"]))
+        for url, d in _kernel_docs(n_pages)
+    ]
+    return values_sql(rows, [
+        ("url", "VARCHAR"), ("doc_id", "VARCHAR"), ("charset", "VARCHAR"),
+        ("failure_code", "VARCHAR"), ("n_pages", "INTEGER"),
+        ("n_chars", "INTEGER"), ("n_blocks", "INTEGER"),
+    ])
+
+
+def extract_blocks_sql(n_pages: int = 300) -> str:
+    rows = [
+        (url, d["doc_id"], b["block_id"], b["type"], b["reading_order"],
+         b["lang"], b["span_start"], b["span_end"], b["anchor"],
+         b["content_hash"])
+        for url, d in _kernel_docs(n_pages)
+        for b in d["blocks"]
+    ]
+    return values_sql(rows, [
+        ("url", "VARCHAR"), ("doc_id", "VARCHAR"), ("block_id", "VARCHAR"),
+        ("type", "VARCHAR"), ("reading_order", "INTEGER"),
+        ("lang", "VARCHAR"), ("span_start", "BIGINT"), ("span_end", "BIGINT"),
+        ("anchor", "VARCHAR"), ("content_hash", "VARCHAR"),
+    ])
+
+
+def chunking_sql(n_pages: int = 300) -> str:
+    from .kernel.chunker import chunk_blocks
+
+    rows = []
+    for _url, d in _kernel_docs(n_pages):
+        for c in chunk_blocks(d["blocks"], d["doc_id"]):
+            rows.append((c["chunk_id"], c["doc_id"], c["page_start"],
+                         c["page_end"], c["section"], c["token_count"],
+                         c["char_count"], c["reading_order_start"],
+                         c["reading_order_end"]))
+    return values_sql(rows, [
+        ("chunk_id", "VARCHAR"), ("doc_id", "VARCHAR"),
+        ("page_start", "INTEGER"), ("page_end", "INTEGER"),
+        ("section", "VARCHAR"), ("token_count", "INTEGER"),
+        ("char_count", "INTEGER"), ("reading_order_start", "INTEGER"),
+        ("reading_order_end", "INTEGER"),
+    ])
+
+
+def assemble_native_sql(n_pages: int = 300) -> str:
+    # docs with zero (non-empty-text) blocks vanish in the groupBy — the
+    # kernel twin skips them the same way
+    rows = [
+        (d["doc_id"], url,
+         hashlib.md5(d["extracted_text"].encode("utf-8")).hexdigest(),
+         len(d["extracted_text"]))
+        for url, d in _kernel_docs(n_pages)
+        if [b for b in d["blocks"] if b["text"]]
+    ]
+    return values_sql(rows, [
+        ("doc_id", "VARCHAR"), ("url", "VARCHAR"),
+        ("text_md5", "VARCHAR"), ("n_chars", "INTEGER"),
+    ])
+
+
+def block_line_spans_sql(n_pages: int = 300) -> str:
+    """Per-doc invariants of the line-span sub-structure (ocr_lines analog):
+    line counts and coverage — the per-line detail is pytest-checked."""
+    rows = []
+    for url, d in _kernel_docs(n_pages):
+        if not d["blocks"]:
+            continue
+        n_lines = sum(len(b["lines"]) for b in d["blocks"])
+        covered = sum(l["end"] - l["start"]
+                      for b in d["blocks"] for l in b["lines"])
+        max_end = max((l["end"] for b in d["blocks"] for l in b["lines"]),
+                      default=0)
+        rows.append((d["doc_id"], len(d["blocks"]), n_lines, covered, max_end))
+    return values_sql(rows, [
+        ("doc_id", "VARCHAR"), ("n_blocks", "INTEGER"), ("n_lines", "BIGINT"),
+        ("covered_chars", "BIGINT"), ("max_line_end", "BIGINT"),
+    ])
+
+
+def xy_cut_order_sql(n_docs: int = 100, seed: int = 42) -> str:
+    from .kernel.layout import make_boxes, sort_boxes
+
+    rows = []
+    for i in range(n_docs):
+        lines, width = make_boxes(i, seed)
+        ordered = sort_boxes(lines, width)
+        for order, l in enumerate(ordered):
+            rows.append((i, l["line_id"], order))
+    return values_sql(rows, [
+        ("doc_id", "BIGINT"), ("line_id", "INTEGER"),
+        ("reading_order", "INTEGER"),
+    ])
+
+
+def chunk_provenance_sql(n_pages: int = 100) -> str:
+    from .kernel.chunker import chunk_blocks
+
+    rows = []
+    for _url, d in _kernel_docs(n_pages):
+        by_id = {b["block_id"]: b for b in d["blocks"]}
+        for c in chunk_blocks(d["blocks"], d["doc_id"]):
+            for bid in c["block_ids"]:
+                b = by_id[bid]
+                rows.append((c["chunk_id"], d["doc_id"], bid, b["type"],
+                             b["reading_order"], b["anchor"]))
+    return values_sql(rows, [
+        ("chunk_id", "VARCHAR"), ("doc_id", "VARCHAR"),
+        ("block_id", "VARCHAR"), ("type", "VARCHAR"),
+        ("reading_order", "INTEGER"), ("anchor", "VARCHAR"),
+    ])
+
+
+def extract_pdf_mixed_sql(n_each: int = 80) -> str:
+    from .datagen import make_pages
+    from .kernel.htmlx import extract_document
+    from .kernel.pdfx import extract_pdf_document, make_pdf
+
+    rows = []
+    for p in make_pages(n_each):
+        d = extract_document(p["html"])
+        rows.append((p["url"], d))
+    for i in range(n_each):
+        rows.append((f"pdf://doc/{i}", extract_pdf_document(make_pdf(i))))
+    out = [
+        (url, d["doc_id"], d["charset"], d["failure_code"], d["n_pages"],
+         len(d["blocks"]), len(d["extracted_text"]))
+        for url, d in rows
+    ]
+    return values_sql(out, [
+        ("url", "VARCHAR"), ("doc_id", "VARCHAR"), ("charset", "VARCHAR"),
+        ("failure_code", "VARCHAR"), ("n_pages", "INTEGER"),
+        ("n_blocks", "INTEGER"), ("n_chars", "INTEGER"),
+    ])
+
+
+# --- independent-reimplementation goldens: xxhash64 fast paths ---------------
+
+@lru_cache(maxsize=2)
+def _oracle_documents():
+    import duckdb
+
+    path = os.path.join(SF_ORACLE_DIR, "documents.parquet")
+    return duckdb.sql(
+        f"SELECT doc_id, text FROM read_parquet('{path}') ORDER BY doc_id"
+    ).fetchall()
+
+
+def minhash_xx_sql() -> str:
+    """Golden pairs from kernel.twins.lsh_pairs_xx — an independent
+    pure-Python XXH64 + pipeline reimplementation (NOT Spark output)."""
+    from .kernel.twins import lsh_pairs_xx
+
+    pairs = lsh_pairs_xx(_oracle_documents())
+    return values_sql(pairs, [("id_a", "BIGINT"), ("id_b", "BIGINT")])
+
+
+def simhash64_sql() -> str:
+    from .kernel.twins import simhash64
+
+    rows = [(d, simhash64(t)) for d, t in _oracle_documents()]
+    return values_sql(rows, [("doc_id", "BIGINT"), ("simhash", "BIGINT")])
+
+
+# --- independent SQL twins: ANN / IVF / image features / mdseg ---------------
+
+def _dlist(vec) -> str:
+    return "[" + ", ".join(repr(float(x)) for x in vec) + "]::DOUBLE[]"
+
+
+def ann_topk_sql(dim: int = 64, k: int = 3, n_bits: int = 16,
+                 bands: int = 8, seed: int = 42) -> str:
+    """Full RP-LSH ANN in DuckDB: the seeded hyperplanes are embedded as
+    literals (the same deterministic numpy draw the Spark expression uses);
+    signature, banding, bucket join, and cosine re-rank are all DuckDB."""
+    from .operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(dim, n_bits, seed)
+    bits_per_band = n_bits // bands
+    mask = (1 << bits_per_band) - 1
+    sig_terms = " + ".join(
+        f"(CASE WHEN list_dot_product(v, {_dlist(planes[j])}) > 0 "
+        f"THEN {2 ** j} ELSE 0 END)"
+        for j in range(n_bits)
+    )
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+sigs AS (SELECT vec_id, ({sig_terms}) AS sig FROM e),
+cb AS (SELECT vec_id AS cand_id, b, (sig >> ({bits_per_band} * b)) & {mask} AS bucket
+       FROM sigs, range({bands}) t(b)),
+qb AS (SELECT vec_id AS query_id, b, (sig >> ({bits_per_band} * b)) & {mask} AS bucket
+       FROM sigs, range({bands}) t(b) WHERE vec_id < 5),
+cands AS (SELECT DISTINCT query_id, cand_id
+          FROM cb JOIN qb USING (b, bucket) WHERE cand_id != query_id),
+scored AS (
+  SELECT query_id, cand_id,
+         round(list_dot_product(q.v, c.v)
+               / (sqrt(list_dot_product(q.v, q.v))
+                  * sqrt(list_dot_product(c.v, c.v))), 4) AS cosine
+  FROM cands JOIN e q ON q.vec_id = query_id JOIN e c ON c.vec_id = cand_id),
+ranked AS (SELECT *, row_number() OVER (
+             PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS rnk
+           FROM scored)
+SELECT query_id, cand_id, cosine, CAST(rnk AS INT) AS rank
+FROM ranked WHERE rnk <= {k}
+"""
+
+
+@lru_cache(maxsize=2)
+def _ivf_centroids(n_lists: int = 8, sample_n: int = 512, seed: int = 42):
+    """Replicate the Spark-side deterministic quantizer sample — ordering by
+    (pmod(xxhash64(vec_id), 1000003), vec_id) via the independent kernel.xxh
+    — then the same numpy Lloyd fit. Only the (tiny) fitted model is shared
+    between engines; assignment, probing and re-ranking are independent."""
+    import duckdb
+    import numpy as np
+
+    from .kernel.xxh import spark_xxhash64
+    from .operators.similarity import _kmeans_fit
+
+    path = os.path.join(SF_ORACLE_DIR, "embeddings.parquet")
+    rows = duckdb.sql(
+        f"SELECT vec_id, embedding FROM read_parquet('{path}')"
+    ).fetchall()
+    keyed = sorted(
+        rows, key=lambda r: (spark_xxhash64(r[0]) % 1_000_003, r[0])
+    )[:sample_n]
+    sample = np.vstack([r[1] for r in keyed]).astype("float64")
+    return _kmeans_fit(sample, n_lists, seed=seed)
+
+
+def ivf_topk_sql(k: int = 3, n_lists: int = 8, n_probe: int = 3) -> str:
+    cents = _ivf_centroids(n_lists)
+    cent_vals = ",\n".join(
+        f"({j}, {_dlist(cents[j])})" for j in range(len(cents))
+    )
+    return f"""
+WITH cents(list_id, c) AS (VALUES
+{cent_vals}
+),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+assigned AS (
+  SELECT vec_id AS cand_id, v AS cand_v,
+         (SELECT c.list_id FROM cents c
+          ORDER BY list_sum(list_transform(range(1, len(v) + 1),
+                    i -> (v[i] - c.c[i]) * (v[i] - c.c[i]))), c.list_id
+          LIMIT 1) AS list_id
+  FROM e),
+qd AS (
+  SELECT q.vec_id AS query_id, q.v AS query_v, c.list_id,
+         row_number() OVER (PARTITION BY q.vec_id
+           ORDER BY list_sum(list_transform(range(1, len(q.v) + 1),
+                     i -> (q.v[i] - c.c[i]) * (q.v[i] - c.c[i]))), c.list_id
+         ) AS rn
+  FROM e q, cents c WHERE q.vec_id < 5),
+probes AS (SELECT query_id, query_v, list_id FROM qd WHERE rn <= {n_probe}),
+scored AS (
+  SELECT query_id, cand_id,
+         round(list_dot_product(query_v, cand_v)
+               / (sqrt(list_dot_product(query_v, query_v))
+                  * sqrt(list_dot_product(cand_v, cand_v))), 4) AS cosine
+  FROM assigned JOIN probes USING (list_id)
+  WHERE cand_id != query_id),
+ranked AS (SELECT *, row_number() OVER (
+             PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS rnk
+           FROM scored)
+SELECT query_id, cand_id, cosine, CAST(rnk AS INT) AS rank
+FROM ranked WHERE rnk <= {k}
+"""
+
+
+def image_features_sql() -> str:
+    """Full average-hash + features re-computed in DuckDB list lambdas over
+    the same codepoint matrix the kernel fake-decoder builds. All block/global
+    means are exact in doubles (denominators 64 and 4096), so the comparison
+    is bit-exact. png/jpeg byte magics cannot occur as the UTF-8 encoding of
+    a leading text char (0x89/0xFF are not valid UTF-8 lead bytes), so only
+    the 'GIF' prefix is reachable — mirrored here."""
+    return """
+WITH base AS (
+  SELECT CAST(doc_id AS VARCHAR) AS media_id, text,
+         list_transform(string_split(substring(text, 1, 4096), ''),
+                        c -> unicode(c) % 256) AS cp
+  FROM documents WHERE doc_id < 100
+),
+px AS (
+  SELECT media_id, text, cp,
+         list_concat(list_transform(cp[1:4096], x -> x),
+                     list_transform(range(4096 - least(len(cp), 4096)),
+                                    x -> 0)) AS p
+  FROM base
+),
+bm AS (
+  SELECT media_id, text, cp,
+         list_transform(range(64), k ->
+           list_sum(list_transform(range(64), t ->
+             p[((k // 8) * 8 + (t // 8)) * 64 + (k % 8) * 8 + (t % 8) + 1]
+           )) / 64.0) AS means
+  FROM px
+),
+hashed AS (
+  SELECT media_id, text, cp,
+         list_sum(list_transform(range(32), k ->
+           CASE WHEN means[k + 1] > list_sum(means) / 64.0
+                THEN (1::BIGINT << (31 - k)) ELSE 0 END)) AS hi,
+         list_sum(list_transform(range(32), k ->
+           CASE WHEN means[k + 33] > list_sum(means) / 64.0
+                THEN (1::BIGINT << (31 - k)) ELSE 0 END)) AS lo
+  FROM bm
+),
+ent AS (
+  SELECT media_id, text, hi, lo,
+         round(list_sum(list_transform(range(16), b ->
+           (len(list_filter(cp, v -> v // 16 = b)) * 1.0
+            / greatest(len(cp), 1)) ^ 2)), 6) AS entropy_q
+  FROM hashed
+)
+SELECT media_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       entropy_q,
+       printf('%08x%08x', CAST(coalesce(hi, 0) AS BIGINT),
+              CAST(coalesce(lo, 0) AS BIGINT)) AS phash,
+       CASE WHEN starts_with(text, 'GIF') THEN 'gif' ELSE 'unknown' END
+         AS format_guess
+FROM ent
+"""
+
+
+def markdown_segment_sql() -> str:
+    """Expected output of the mdseg kernel over the constructed per-doc
+    markdown (heading + paragraph + conditional figure/table/formula) — the
+    SQL derives every block and its reading order from the same modular
+    conditions the Spark query uses to build the input."""
+    return r"""
+WITH d AS (
+  SELECT doc_id, source,
+         regexp_replace(text, '[\r\n]+', ' ', 'g') AS safe
+  FROM documents
+),
+blocks AS (
+  SELECT doc_id, 0 AS ro, 'title' AS type,
+         'Doc ' || source || ' ' || doc_id AS text,
+         '# Doc ' || source || ' ' || doc_id AS markdown
+  FROM d
+  UNION ALL
+  SELECT doc_id, 1, 'text', trim('p: ' || safe), trim('p: ' || safe) FROM d
+  UNION ALL
+  SELECT doc_id, 2, 'figure', 'diagram ' || doc_id,
+         '![diagram ' || doc_id || '](/img/' || doc_id || '.png)'
+  FROM d WHERE doc_id % 2 = 0
+  UNION ALL
+  SELECT doc_id,
+         2 + (CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END),
+         'table',
+         'key | val' || chr(10) || 'k' || doc_id || ' | v' || doc_id,
+         '| key | val |' || chr(10) || '| --- | --- |' || chr(10)
+           || '| k' || doc_id || ' | v' || doc_id || ' |'
+  FROM d WHERE doc_id % 3 = 0
+  UNION ALL
+  SELECT doc_id,
+         2 + (CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END)
+           + (CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END),
+         'formula', 'x^' || doc_id || ' + 1',
+         '$$ x^' || doc_id || ' + 1 $$'
+  FROM d WHERE doc_id % 5 = 0
+)
+SELECT doc_id, CAST(ro AS INT) AS reading_order, type, text, markdown
+FROM blocks
+"""

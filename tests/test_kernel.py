@@ -228,3 +228,84 @@ class TestChunker:
         assert [c["chunk_id"] for c in chunks] == [
             f"abcdefgh_c{i}" for i in range(len(chunks))
         ]
+
+
+class TestXxHashTwin:
+    """kernel.xxh must equal Spark's xxhash64 bit-for-bit — it anchors the
+    independent golden oracles for the xx-flavor fast paths."""
+
+    STRS = ["", "a", "hello", "12345678", "0123456789abcdef", "x" * 31,
+            "y" * 32, "z" * 100, "한국어 텍스트 테스트", "中文测试字符串",
+            "the quick brown fox jumps over the lazy dog!"]
+
+    def test_strings_all_length_classes(self, spark):
+        from pyspark.sql import functions as F
+
+        from rag_pdf_parser_spark.kernel.xxh import spark_xxhash64
+
+        df = spark.createDataFrame([(s,) for s in self.STRS], "s string")
+        got = {r["s"]: r["h"]
+               for r in df.select("s", F.xxhash64("s").alias("h")).collect()}
+        for s in self.STRS:
+            assert got[s] == spark_xxhash64(s), repr(s)
+
+    def test_chained_string_int_and_long(self, spark):
+        from pyspark.sql import functions as F
+
+        from rag_pdf_parser_spark.kernel.xxh import i32, spark_xxhash64
+
+        rows = [(s, j) for s in self.STRS[:5] for j in (0, 1, 7, -3)]
+        df = spark.createDataFrame(rows, "s string, j long")
+        for r in df.select(
+            "s", "j",
+            F.xxhash64("s", F.col("j").cast("int")).alias("h_int"),
+            F.xxhash64("s", "j").alias("h_long"),
+        ).collect():
+            assert r["h_int"] == spark_xxhash64(r["s"], i32(r["j"]))
+            assert r["h_long"] == spark_xxhash64(r["s"], r["j"])
+
+    def test_longs(self, spark):
+        from pyspark.sql import functions as F
+
+        from rag_pdf_parser_spark.kernel.xxh import spark_xxhash64
+
+        vals = [0, 1, -1, 2 ** 62, -(2 ** 63), 424242]
+        df = spark.createDataFrame([(v,) for v in vals], "v long")
+        got = {r["v"]: r["h"]
+               for r in df.select("v", F.xxhash64("v").alias("h")).collect()}
+        for v in vals:
+            assert got[v] == spark_xxhash64(v)
+
+
+class TestPipelineTwins:
+    """Whole-pipeline pure-Python twins equal the Spark fast paths."""
+
+    def test_minhash_lsh_xx_twin(self, spark):
+        from rag_pdf_parser_spark.kernel.twins import lsh_pairs_xx
+        from rag_pdf_parser_spark.operators.dedup import lsh_candidate_pairs
+
+        sdf = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        ).where("doc_id < 60")
+        got = sorted(
+            (r["id_a"], r["id_b"])
+            for r in lsh_candidate_pairs(sdf, id_col="doc_id",
+                                         flavor="xx").collect()
+        )
+        docs = sorted(
+            (r["doc_id"], r["text"]) for r in sdf.select("doc_id", "text").collect()
+        )
+        assert got == lsh_pairs_xx(docs)
+
+    def test_simhash64_twin(self, spark):
+        from rag_pdf_parser_spark.kernel.twins import simhash64
+        from rag_pdf_parser_spark.operators.dedup import simhash
+
+        sdf = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        ).where("doc_id < 60")
+        got = {r["doc_id"]: r["simhash"]
+               for r in simhash(sdf).select("doc_id", "simhash").collect()}
+        for d, t in [(r["doc_id"], r["text"])
+                     for r in sdf.select("doc_id", "text").collect()]:
+            assert got[d] == simhash64(t), d
