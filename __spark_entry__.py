@@ -514,10 +514,13 @@ _N_PAGES_Q = 300
 
 
 def q_extract_pages(spark, sf_dir):
-    """The north-star pipeline: pages → per-url extraction results.
-    Byte-identity vs the kernel oracle is asserted in tests/."""
+    """The north-star pipeline: pages → per-url extraction results
+    (including authors + parser_version doc metadata). Kernel-golden oracle;
+    byte-identity of full text additionally asserted in tests/."""
     docs = extract_docs(synth_pages(spark, _N_PAGES_Q))
-    return docs.select("url", "doc_id", "charset", "failure_code", "n_pages",
+    return docs.select("url", "doc_id", "charset", "failure_code",
+                       F.array_join("authors", ",").alias("authors_csv"),
+                       "parser_version", "n_pages",
                        F.length("extracted_text").alias("n_chars"),
                        F.size("blocks").alias("n_blocks"))
 
@@ -525,8 +528,27 @@ def q_extract_pages(spark, sf_dir):
 def q_extract_blocks(spark, sf_dir):
     blocks = explode_blocks(extract_docs(synth_pages(spark, _N_PAGES_Q)))
     return blocks.select("url", "doc_id", "block_id", "type", "reading_order",
-                         "lang", "span_start", "span_end", "anchor",
-                         "content_hash")
+                         "caption", "lang", "span_start", "span_end",
+                         "anchor", "content_hash")
+
+
+def q_block_line_spans(spark, sf_dir):
+    """ocr_lines analog (block.py:57): per-block line-span sub-structure,
+    aggregated to per-doc invariants (counts + covered chars + max offset);
+    per-line detail (orderedness, containment, text-slice equality) is
+    pytest-checked. Proves the nested-Arrow round-trip SURVEY §7.4.3 flagged."""
+    blocks = explode_blocks(extract_docs(synth_pages(spark, _N_PAGES_Q)))
+    long0 = F.lit(0).cast("long")
+    return blocks.groupBy("doc_id").agg(
+        F.count("*").cast("int").alias("n_blocks"),
+        F.sum(F.size("lines")).alias("n_lines"),
+        F.sum(
+            F.aggregate("lines", long0, lambda a, l: a + l["end"] - l["start"])
+        ).alias("covered_chars"),
+        F.max(
+            F.aggregate("lines", long0, lambda a, l: F.greatest(a, l["end"]))
+        ).alias("max_line_end"),
+    )
 
 
 def q_chunking(spark, sf_dir):
@@ -718,6 +740,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # engine fast paths; byte-identity asserted in tests/)
         "extract_pages": q_extract_pages,
         "extract_blocks": q_extract_blocks,
+        "block_line_spans": q_block_line_spans,
         "chunking": q_chunking,
         "assemble_native": q_assemble_native,
         "minhash_lsh_xx": q_minhash_lsh_xx,
@@ -1166,6 +1189,7 @@ def _generated_oracles() -> dict[str, str]:
         # kernel-golden VALUES (distributed-vs-local byte identity)
         "extract_pages": lambda: O.extract_pages_sql(_N_PAGES_Q),
         "extract_blocks": lambda: O.extract_blocks_sql(_N_PAGES_Q),
+        "block_line_spans": lambda: O.block_line_spans_sql(_N_PAGES_Q),
         "chunking": lambda: O.chunking_sql(_N_PAGES_Q),
         "assemble_native": lambda: O.assemble_native_sql(_N_PAGES_Q),
         "xy_cut_order": lambda: O.xy_cut_order_sql(100),

@@ -144,9 +144,17 @@ def make_page(i: int, seed: int = 42) -> dict:
         body = "".join(content)
 
     charset = "euc-kr" if (lang == "ko" and rng.random() < 0.5) else "utf-8"
+    # author metadata: ~half the docs declare 1-2 <meta name="author"> tags
+    author_meta = ""
+    if rng.random() < 0.5:
+        n_auth = 2 if rng.random() < 0.2 else 1
+        for _ in range(n_auth):
+            nm = f"{rng.choice(_EN_WORDS).capitalize()} {rng.choice(_EN_WORDS).capitalize()}"
+            author_meta += f'<meta name="author" content="{nm}">'
     html_text = (
         "<!DOCTYPE html><html><head>"
-        f'<meta charset="{charset}"><title>{title}</title></head><body>'
+        f'<meta charset="{charset}">{author_meta}'
+        f"<title>{title}</title></head><body>"
         f"{_nav_html(rng)}<header><p>site chrome banner</p></header>"
         f"{body}{_sidebar_html(rng)}"
         "<footer><p>copyright footer</p></footer></body></html>"

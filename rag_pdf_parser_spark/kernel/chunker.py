@@ -83,6 +83,9 @@ def _make_chunk(blocks: list[dict], doc_id: str, index: int,
         "anchors": [b["anchor"] for b in blocks if b.get("anchor")]
         if cfg.include_anchors
         else [],
+        # embedding slot stays null at chunking time (chunk.py:45); the K3
+        # sink excludes it (chunk.py:57-59)
+        "embedding": None,
     }
 
 

@@ -55,6 +55,15 @@ MIN_TEXT_CHARS = 3
 # Hard cap on html size; larger inputs are truncated and flagged (SURVEY §7.4.5).
 MAX_HTML_BYTES = 2_000_000
 
+# Engine version stamped on every document (IRDocument.parser_version analog,
+# /root/reference/src/models/block.py:163).
+PARSER_VERSION = "rps-0.2.0"
+
+# Figure→chart reclassification cue words (M5 slot: the reference sends chart
+# regions to a model, src/chart/extractor.py:29-96 [mock]; the engine's rule
+# is a deterministic keyword test on alt/src/figcaption).
+CHART_CUES = ("chart", "plot", "graph")
+
 # Anchor abbreviations, reference /root/reference/src/models/block.py:62-70.
 TYPE_ABBREV = {
     "text": "txt",
@@ -290,10 +299,12 @@ def _render_markdown(btype: str, text: str, extra: dict) -> str:
         return f"*{text}*"
     if btype == "table":
         return extra.get("table_md", text)
-    if btype == "figure":
+    if btype in ("figure", "chart"):
         src = extra.get("src", "")
         cap = extra.get("caption", "")
-        md = f"![figure]({src})" if src else "[Figure]"
+        tag = "chart" if btype == "chart" else "figure"
+        md = f"![{tag}]({src})" if src else ("[Chart]" if btype == "chart"
+                                             else "[Figure]")
         if cap:
             md += f"\n\n*{cap}*"
         return md
@@ -353,14 +364,18 @@ def _block_from(node: _Node, page: int) -> Optional[dict]:
         btype = "table"
         text = table_text(node)
         extra["table_md"] = table_markdown(node)
+        rows = _table_rows(node)
+        extra["dims"] = (len(rows), len(rows[0]) if rows else 0)
     elif tag == "figure":
-        btype = "figure"
         img = node.first("img")
         cap = node.first("figcaption")
         extra["src"] = (img.attrs.get("src", "") if img is not None else "")
         extra["caption"] = cap.text() if cap is not None else ""
         alt = img.attrs.get("alt", "") if img is not None else ""
-        text = extra["caption"] or norm_ws(alt)
+        extra["alt"] = norm_ws(alt)
+        cues = f"{extra['src']} {extra['alt']} {extra['caption']}".lower()
+        btype = "chart" if any(c in cues for c in CHART_CUES) else "figure"
+        text = extra["caption"] or extra["alt"]
     elif tag == "pre":
         raw = node.text()
         btype = "formula" if _FORMULA_RE.match(raw) else "text"
@@ -385,6 +400,61 @@ def _block_from(node: _Node, page: int) -> Optional[dict]:
     if not text or len(text) < MIN_TEXT_CHARS:
         return None
     return {"type": btype, "text": text, "page": page, "extra": extra}
+
+
+# --- captions / lines / doc metadata -------------------------------------------
+
+_CAPTION_LABEL = {"figure": "Figure", "chart": "Chart", "table": "Table",
+                  "formula": "Formula"}
+
+
+def caption_for(btype: str, index: int, extra: dict, text: str,
+                section: Optional[str]) -> Optional[str]:
+    """M3/M5 deterministic caption: per-type template from context —
+    '{Label} {k}: {descriptor} — {nearest heading}'. Replaces the reference's
+    per-type VLM prompts (/root/reference/src/captioning/vlm.py:20-76) with
+    the same interface (structured, per-type, context-aware) per the north
+    rule. Text-ish types carry no caption (vlm.py captions visual types only).
+    """
+    label = _CAPTION_LABEL.get(btype)
+    if label is None:
+        return None
+    if btype in ("figure", "chart"):
+        desc = extra.get("caption") or extra.get("alt") or f"[{label}]"
+    elif btype == "table":
+        nrows, ncols = extra.get("dims", (0, 0))
+        desc = f"{nrows}x{ncols}"
+    else:  # formula
+        desc = text[:40]
+    cap = f"{label} {index}: {desc}"
+    if section:
+        cap += f" — {section}"
+    return cap
+
+
+def line_spans(text: str, span_start: int) -> list[dict]:
+    """ocr_lines analog (block.py:57): non-empty '\\n'-split segments of the
+    block text as ABSOLUTE (start, end) offsets into the document text."""
+    out: list[dict] = []
+    local = 0
+    for seg in text.split("\n"):
+        if seg:
+            out.append({"start": span_start + local,
+                        "end": span_start + local + len(seg)})
+        local += len(seg) + 1
+    return out
+
+
+def meta_authors(tree: _Node) -> list[str]:
+    """<meta name="author" content="..."> values in document order
+    (IRDocument.authors analog, block.py:158)."""
+    out = []
+    for m in tree.find_all("meta"):
+        if (m.attrs.get("name") or "").lower() == "author":
+            c = norm_ws(m.attrs.get("content") or "")
+            if c:
+                out.append(c)
+    return out
 
 
 # --- document assembly ---------------------------------------------------------
@@ -428,9 +498,11 @@ def extract_document(raw: Optional[bytes]) -> dict:
     doc_id = doc_id_for(raw)
     text, charset, failure = decode_html(raw)
     blocks_raw: list[dict] = []
+    authors: list[str] = []
     if failure != "EMPTY_HTML" and text:
         try:
             tree = parse_tree(text)
+            authors = meta_authors(tree)
             body = tree.first("body") or tree
             page_counter: dict[int, int] = {}
             blocks_raw = _emit_blocks(body, page_counter)
@@ -441,8 +513,11 @@ def extract_document(raw: Optional[bytes]) -> dict:
         failure = "NO_CONTENT"
 
     # reading order + per-page block ids (block_id 'p{page}_b{order}' per
-    # /root/reference/src/models/block.py:28)
+    # /root/reference/src/models/block.py:28); section carry-forward for
+    # captions (W5 semantics, ir_processor.py:258-260)
     per_page_counter: dict[int, int] = {}
+    per_type_counter: dict[str, int] = {}
+    section: Optional[str] = None
     blocks: list[dict] = []
     extracted = assemble_text(blocks_raw)
     cursor = 0
@@ -452,6 +527,7 @@ def extract_document(raw: Optional[bytes]) -> dict:
         bid = f"p{page}_b{per_page_counter[page]}"
         per_page_counter[page] += 1
         btext = b["text"]
+        btype = b["type"]
         # span offsets into the assembled extracted_text; merges can alter
         # the hyphenated tail, so search from cursor for robustness.
         start = extracted.find(btext, max(0, cursor - 2))
@@ -461,21 +537,27 @@ def extract_document(raw: Optional[bytes]) -> dict:
             start = cursor
         end = min(len(extracted), start + len(btext))
         cursor = end
+        per_type_counter[btype] = per_type_counter.get(btype, 0) + 1
         blocks.append(
             {
                 "page": page,
                 "block_id": bid,
-                "type": b["type"],
+                "type": btype,
                 "reading_order": order,
                 "text": btext,
-                "markdown": _render_markdown(b["type"], btext, b["extra"]),
+                "markdown": _render_markdown(btype, btext, b["extra"]),
+                "caption": caption_for(btype, per_type_counter[btype],
+                                       b["extra"], btext, section),
                 "lang": detect_language(btext),
                 "span_start": start,
                 "span_end": end,
-                "anchor": anchor_for(page, b["type"], order),
+                "anchor": anchor_for(page, btype, order),
                 "content_hash": content_hash(btext),
+                "lines": line_spans(btext, start),
             }
         )
+        if btype in ("title", "section_header"):
+            section = btext
 
     title = next((b["text"] for b in blocks if b["type"] == "title"), None)
     n_pages = max((b["page"] for b in blocks), default=1)
@@ -484,6 +566,8 @@ def extract_document(raw: Optional[bytes]) -> dict:
         "charset": charset,
         "failure_code": failure,
         "title": title,
+        "authors": authors,
+        "parser_version": PARSER_VERSION,
         "n_pages": n_pages,
         "extracted_text": extracted,
         "blocks": blocks,

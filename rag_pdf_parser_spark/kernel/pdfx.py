@@ -24,7 +24,13 @@ import re
 import zlib
 from typing import Optional
 
-from .htmlx import anchor_for, content_hash, doc_id_for
+from .htmlx import (
+    PARSER_VERSION,
+    anchor_for,
+    content_hash,
+    doc_id_for,
+    line_spans,
+)
 from .lang import detect_language
 from .layout import sort_boxes
 
@@ -134,11 +140,13 @@ def extract_pdf_document(raw: Optional[bytes]) -> dict:
                 "reading_order": order,
                 "text": text,
                 "markdown": md,
+                "caption": None,  # PDF lane emits text-ish types only
                 "lang": detect_language(text),
                 "span_start": 0,
                 "span_end": 0,
                 "anchor": anchor_for(pno, btype, order),
                 "content_hash": content_hash(text),
+                "lines": [],
             })
             order += 1
 
@@ -149,6 +157,7 @@ def extract_pdf_document(raw: Optional[bytes]) -> dict:
         start = extracted.find(b["text"], cursor)
         b["span_start"] = start
         b["span_end"] = start + len(b["text"])
+        b["lines"] = line_spans(b["text"], start)
         cursor = b["span_end"]
 
     title = next((b["text"] for b in blocks if b["type"] == "title"), None)
@@ -157,6 +166,8 @@ def extract_pdf_document(raw: Optional[bytes]) -> dict:
         "charset": "binary",
         "failure_code": failure,
         "title": title,
+        "authors": [],  # PDF lane: no metadata dictionary parse (stdlib scope)
+        "parser_version": PARSER_VERSION,
         "n_pages": max(len(pages_runs), 1),
         "extracted_text": extracted,
         "blocks": blocks,

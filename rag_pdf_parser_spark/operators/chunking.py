@@ -91,8 +91,10 @@ def chunk_documents_sorted(blocks: DataFrame,
 
 
 def chunks_jsonl(chunks: DataFrame) -> DataFrame:
-    """K3 sink projection — embedding/nulled columns excluded per
-    /root/reference/src/models/chunk.py:52-60."""
+    """K3 sink projection — the embedding column is excluded per
+    /root/reference/src/models/chunk.py:52-60 (chunk JSONL never carries
+    vectors; they live in a separate embeddings table)."""
+    chunks = chunks.drop("embedding")
     return chunks.withColumn(
         "citation",
         F.when(

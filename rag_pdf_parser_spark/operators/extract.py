@@ -48,6 +48,8 @@ def _extract_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                     d["charset"],
                     d["failure_code"],
                     d["title"],
+                    d["authors"],
+                    d["parser_version"],
                     d["n_pages"],
                     d["extracted_text"],
                     len(raw),
@@ -90,8 +92,8 @@ def _extract_full_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             ]
             rows.append(
                 (url, d["doc_id"], d["charset"], d["failure_code"], d["title"],
-                 d["n_pages"], d["extracted_text"], len(raw), d["blocks"],
-                 chunks)
+                 d["authors"], d["parser_version"], d["n_pages"],
+                 d["extracted_text"], len(raw), d["blocks"], chunks)
             )
         yield pd.DataFrame(rows, columns=_DOC_COLS + ["chunks"])
 
@@ -116,7 +118,7 @@ def explode_chunks(docs_full: DataFrame) -> DataFrame:
         .select("c.chunk_id", "doc_id", "c.page_start", "c.page_end",
                 "c.block_ids", "c.section", "c.text", "c.token_count",
                 "c.char_count", "c.reading_order_start",
-                "c.reading_order_end", "c.anchors")
+                "c.reading_order_end", "c.anchors", "c.embedding")
     )
 
 

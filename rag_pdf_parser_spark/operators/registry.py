@@ -50,7 +50,8 @@ def extract_dispatch(pages: DataFrame, content_type_col: str | None = None,
                         else _sniff(raw))
                 d = KERNELS[kind](raw)
                 rows.append((url, d["doc_id"], d["charset"],
-                             d["failure_code"], d["title"], d["n_pages"],
+                             d["failure_code"], d["title"], d["authors"],
+                             d["parser_version"], d["n_pages"],
                              d["extracted_text"], len(raw), d["blocks"]))
             yield pd.DataFrame(rows, columns=_DOC_COLS)
 

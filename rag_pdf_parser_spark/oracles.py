@@ -66,13 +66,15 @@ def _kernel_docs(n_pages: int):
 
 def extract_pages_sql(n_pages: int = 300) -> str:
     rows = [
-        (url, d["doc_id"], d["charset"], d["failure_code"], d["n_pages"],
+        (url, d["doc_id"], d["charset"], d["failure_code"],
+         ",".join(d["authors"]), d["parser_version"], d["n_pages"],
          len(d["extracted_text"]), len(d["blocks"]))
         for url, d in _kernel_docs(n_pages)
     ]
     return values_sql(rows, [
         ("url", "VARCHAR"), ("doc_id", "VARCHAR"), ("charset", "VARCHAR"),
-        ("failure_code", "VARCHAR"), ("n_pages", "INTEGER"),
+        ("failure_code", "VARCHAR"), ("authors_csv", "VARCHAR"),
+        ("parser_version", "VARCHAR"), ("n_pages", "INTEGER"),
         ("n_chars", "INTEGER"), ("n_blocks", "INTEGER"),
     ])
 
@@ -80,7 +82,7 @@ def extract_pages_sql(n_pages: int = 300) -> str:
 def extract_blocks_sql(n_pages: int = 300) -> str:
     rows = [
         (url, d["doc_id"], b["block_id"], b["type"], b["reading_order"],
-         b["lang"], b["span_start"], b["span_end"], b["anchor"],
+         b["caption"], b["lang"], b["span_start"], b["span_end"], b["anchor"],
          b["content_hash"])
         for url, d in _kernel_docs(n_pages)
         for b in d["blocks"]
@@ -88,7 +90,8 @@ def extract_blocks_sql(n_pages: int = 300) -> str:
     return values_sql(rows, [
         ("url", "VARCHAR"), ("doc_id", "VARCHAR"), ("block_id", "VARCHAR"),
         ("type", "VARCHAR"), ("reading_order", "INTEGER"),
-        ("lang", "VARCHAR"), ("span_start", "BIGINT"), ("span_end", "BIGINT"),
+        ("caption", "VARCHAR"), ("lang", "VARCHAR"),
+        ("span_start", "BIGINT"), ("span_end", "BIGINT"),
         ("anchor", "VARCHAR"), ("content_hash", "VARCHAR"),
     ])
 

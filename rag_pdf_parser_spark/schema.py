@@ -22,7 +22,21 @@ PAGES_SCHEMA = T.StructType(
     ]
 )
 
+# Per-block line spans — the reference's ocr_lines analog
+# (/root/reference/src/models/block.py:57; extractor.py:252-260): line-level
+# sub-structure as character offsets into the assembled document text
+# (pixel boxes → span offsets per SURVEY §7.4.3).
+LINE_STRUCT = T.StructType(
+    [
+        T.StructField("start", T.LongType(), False),
+        T.StructField("end", T.LongType(), False),
+    ]
+)
+
 # One extracted block — IRBlock analog (block.py:25-60), spans not bboxes.
+# `caption` is the M3/M5 slot: deterministic per-type template from
+# geometry/context (nearest heading + per-type index + alt/figcaption),
+# replacing /root/reference/src/captioning/vlm.py:20-76 per the north rule.
 BLOCK_STRUCT = T.StructType(
     [
         T.StructField("page", T.IntegerType(), False),
@@ -31,15 +45,21 @@ BLOCK_STRUCT = T.StructType(
         T.StructField("reading_order", T.IntegerType(), False),
         T.StructField("text", T.StringType(), True),
         T.StructField("markdown", T.StringType(), True),
+        T.StructField("caption", T.StringType(), True),
         T.StructField("lang", T.StringType(), True),
         T.StructField("span_start", T.LongType(), True),
         T.StructField("span_end", T.LongType(), True),
         T.StructField("anchor", T.StringType(), True),
         T.StructField("content_hash", T.StringType(), True),
+        T.StructField("lines", T.ArrayType(LINE_STRUCT), True),
     ]
 )
 
 # Extraction output: one row per document, blocks nested (exploded downstream).
+# `authors` (from <meta name="author">) and `parser_version` mirror
+# IRDocument (block.py:149-230); `created_at` is deliberately ABSENT — the
+# engine's determinism discipline bans wall-clock values in data rows
+# (run-level timestamps live in the manifest instead).
 DOCS_SCHEMA = T.StructType(
     [
         T.StructField("url", T.StringType(), False),
@@ -47,6 +67,8 @@ DOCS_SCHEMA = T.StructType(
         T.StructField("charset", T.StringType(), True),
         T.StructField("failure_code", T.StringType(), True),
         T.StructField("title", T.StringType(), True),
+        T.StructField("authors", T.ArrayType(T.StringType()), True),
+        T.StructField("parser_version", T.StringType(), False),
         T.StructField("n_pages", T.IntegerType(), False),
         T.StructField("extracted_text", T.StringType(), True),
         T.StructField("bytes_in", T.LongType(), False),
@@ -76,6 +98,9 @@ CHUNKS_SCHEMA = T.StructType(
         T.StructField("reading_order_start", T.IntegerType(), False),
         T.StructField("reading_order_end", T.IntegerType(), False),
         T.StructField("anchors", T.ArrayType(T.StringType()), False),
+        # embedding slot (chunk.py:45) — null until an embedding stage fills
+        # it; the K3 JSONL sink excludes it (chunk.py:57-59 semantics).
+        T.StructField("embedding", T.ArrayType(T.FloatType()), True),
     ]
 )
 

@@ -309,3 +309,92 @@ class TestPipelineTwins:
         for d, t in [(r["doc_id"], r["text"])
                      for r in sdf.select("doc_id", "text").collect()]:
             assert got[d] == simhash64(t), d
+
+
+class TestCaptionsLinesMetadata:
+    """M3/M5 caption rules, ocr_lines-analog line spans, doc metadata."""
+
+    HTML = (b"<html><head><meta charset=\"utf-8\">"
+            b"<meta name=\"author\" content=\"Ada Lovelace\">"
+            b"<meta name=\"author\" content=\"Alan Turing\">"
+            b"<title>t</title></head><body>"
+            b"<h1>Main Title</h1>"
+            b"<h2>Results Section</h2>"
+            b"<p>some paragraph text here</p>"
+            b"<table><tr><th>a</th><th>b</th></tr><tr><td>1</td><td>2</td></tr></table>"
+            b"<figure><img src='/img/x.png' alt='a nice diagram'>"
+            b"<figcaption>Fig caption text</figcaption></figure>"
+            b"<figure><img src='/img/sales-chart.png' alt='sales chart'></figure>"
+            b"<pre>$$ e = mc^2 $$</pre>"
+            b"</body></html>")
+
+    def _doc(self):
+        from rag_pdf_parser_spark.kernel.htmlx import extract_document
+
+        return extract_document(self.HTML)
+
+    def test_authors_and_version(self):
+        d = self._doc()
+        assert d["authors"] == ["Ada Lovelace", "Alan Turing"]
+        assert d["parser_version"].startswith("rps-")
+
+    def test_chart_reclassification(self):
+        types = [b["type"] for b in self._doc()["blocks"]]
+        assert "figure" in types and "chart" in types
+
+    def test_caption_templates(self):
+        caps = {b["type"]: b["caption"] for b in self._doc()["blocks"]}
+        # per-type template: Label k: descriptor — nearest heading (vlm.py:20-76 slot)
+        assert caps["figure"] == "Figure 1: Fig caption text — Results Section"
+        assert caps["chart"] == "Chart 1: sales chart — Results Section"
+        assert caps["table"] == "Table 1: 2x2 — Results Section"
+        assert caps["formula"].startswith("Formula 1: $$ e = mc^2 $$")
+        assert caps["title"] is None and caps["text"] is None
+
+    def test_line_spans_invariants(self):
+        d = self._doc()
+        text = d["extracted_text"]
+        for b in d["blocks"]:
+            prev_end = None
+            assert b["lines"], b["block_id"]
+            for l in b["lines"]:
+                assert b["span_start"] <= l["start"] < l["end"] <= b["span_end"]
+                if prev_end is not None:
+                    assert l["start"] > prev_end  # ordered, non-overlapping
+                prev_end = l["end"]
+            # multi-line blocks (table) split on newlines; slices match
+            if b["span_end"] - b["span_start"] == len(b["text"]):
+                for l in b["lines"]:
+                    seg = text[l["start"]:l["end"]]
+                    assert seg in b["text"]
+        table = next(b for b in d["blocks"] if b["type"] == "table")
+        assert len(table["lines"]) == 2  # header row + data row
+
+
+class TestAvgHash:
+    def test_perceptual_property(self):
+        from rag_pdf_parser_spark.kernel.imagex import (
+            avg_hash_64,
+            fake_decode_gray,
+        )
+
+        base = ("lorem ipsum dolor sit amet " * 200).encode()
+        near = ("lorem ipsum dolor sit amet " * 199
+                + "lorem ipsum dolor sit amxt ").encode()
+        far = ("completely different content 123 " * 170).encode()
+
+        def ham(a, b):
+            return bin(int(a, 16) ^ int(b, 16)).count("1")
+
+        h_base = avg_hash_64(fake_decode_gray(base))
+        h_near = avg_hash_64(fake_decode_gray(near))
+        h_far = avg_hash_64(fake_decode_gray(far))
+        assert ham(h_base, h_near) <= 8
+        assert ham(h_base, h_far) > 8
+
+    def test_known_matrix(self):
+        from rag_pdf_parser_spark.kernel.imagex import avg_hash_64
+
+        # top half bright, bottom half dark → first 32 bits set
+        px = [200] * (64 * 32) + [10] * (64 * 32)
+        assert avg_hash_64(px) == "ffffffff00000000"

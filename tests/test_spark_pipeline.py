@@ -212,3 +212,34 @@ def test_sorted_chunker_equals_grouped_map(spark, pages_df):
                                               "block_ids")
     assert a.exceptAll(b).count() == 0
     assert b.exceptAll(a).count() == 0
+
+
+def test_nested_lines_arrow_roundtrip(spark, pages_df, golden_docs):
+    """SURVEY §7.4.3: the 3-deep nested lines structure
+    (array<struct<start,end>> inside array<struct> blocks) must survive the
+    Arrow boundary byte-exactly — explode through Spark, compare to kernel."""
+    rows = explode_blocks(extract_docs(pages_df)).select(
+        "url", "block_id", F.explode("lines").alias("l")
+    ).select("url", "block_id", "l.start", "l.end").collect()
+    got = {}
+    for r in rows:
+        got.setdefault((r["url"], r["block_id"]), []).append(
+            (r["start"], r["end"]))
+    for url, g in golden_docs.items():
+        for gb in g["blocks"]:
+            exp = [(l["start"], l["end"]) for l in gb["lines"]]
+            if exp:
+                assert got[(url, gb["block_id"])] == exp, (url, gb["block_id"])
+
+
+def test_caption_and_metadata_through_spark(spark, pages_df, golden_docs):
+    docs = {r["url"]: r for r in extract_docs(pages_df).collect()}
+    n_caps = 0
+    for url, g in golden_docs.items():
+        r = docs[url]
+        assert list(r["authors"] or []) == g["authors"], url
+        assert r["parser_version"] == g["parser_version"]
+        for rb, gb in zip(r["blocks"], g["blocks"]):
+            assert rb["caption"] == gb["caption"], (url, gb["block_id"])
+            n_caps += rb["caption"] is not None
+    assert n_caps > 50  # figures/charts/tables/formulas carry captions
