@@ -111,9 +111,19 @@ def minhash_signature(df: DataFrame, text_col: str = "text", n: int = 5,
 
 def lsh_candidate_pairs(df: DataFrame, id_col: str = "doc_id",
                         text_col: str = "text", n: int = 5, num_perm: int = 8,
-                        bands: int = 4, flavor: str = "xx") -> DataFrame:
+                        bands: int = 4, flavor: str = "xx",
+                        max_bucket: int | None = None) -> DataFrame:
     """MinHash-LSH near-dup candidates: band the signature, hash each band,
-    self-join rows sharing any band bucket → distinct (a < b) pairs."""
+    self-join rows sharing any band bucket → distinct (a < b) pairs.
+
+    `max_bucket` is the LSH skew guard for corpus scale: a bucket of m
+    near-identical docs fans out m² candidate pairs, and one boilerplate
+    template shared by millions of pages would melt the pair join. Buckets
+    larger than `max_bucket` are dropped from candidate generation (their
+    members are effectively exact dups — the cheaper exact/normalized dedup
+    lane catches them; this is the standard guard in large-scale MinHash
+    dedup pipelines). None = uncapped (exact semantics, the oracle-checked
+    configuration)."""
     rows = num_perm // bands
     sig = minhash_signature(df.select(id_col, text_col), text_col, n,
                             num_perm, flavor)
@@ -127,6 +137,12 @@ def lsh_candidate_pairs(df: DataFrame, id_col: str = "doc_id",
     buckets = sig.select(
         F.col(id_col).alias("id"), F.explode(F.array(*band_cols)).alias("bk")
     ).select("id", "bk.band", "bk.bucket")
+    if max_bucket is not None:
+        sizes = buckets.groupBy("band", "bucket").agg(
+            F.count("*").alias("__bsz"))
+        buckets = buckets.join(
+            sizes.where(F.col("__bsz") <= max_bucket), ["band", "bucket"]
+        ).drop("__bsz")
     left = buckets.alias("l")
     right = buckets.alias("r")
     return (

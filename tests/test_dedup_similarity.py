@@ -203,3 +203,17 @@ def test_simhash_plan_has_no_exchange(spark, docs_df):
     plan = simhash(docs_df).select("doc_id", "simhash")._jdf \
         .queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
+
+
+def test_lsh_max_bucket_guard(spark, docs_df):
+    """Skew guard: capping bucket size removes the fan-out from the
+    6-member near-identical family but keeps smaller-bucket candidates."""
+    uncapped = lsh_candidate_pairs(docs_df, bands=4, num_perm=8).count()
+    capped = lsh_candidate_pairs(docs_df, bands=4, num_perm=8,
+                                 max_bucket=2).count()
+    assert capped < uncapped
+    # the exact-dup triplet (d00-d02) shares every bucket (size >= 3) → gone
+    pairs = {(r["id_a"], r["id_b"])
+             for r in lsh_candidate_pairs(docs_df, bands=4, num_perm=8,
+                                          max_bucket=2).collect()}
+    assert ("d00", "d01") not in pairs
