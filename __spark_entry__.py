@@ -463,6 +463,49 @@ def q_heading_level(spark, sf_dir):
     return d.select("doc_id", level.alias("heading_level"))
 
 
+def q_asof_login(spark, sf_dir):
+    """As-of join (custom operator, operators/asof.py): every event enriched
+    with the most recent login event of the same user at-or-before its
+    timestamp — ONE shuffle of |L|+|R| on the key via the union-window
+    formulation. Oracle: DuckDB's native ASOF LEFT JOIN (fully independent
+    implementation of the same semantics)."""
+    from rag_pdf_parser_spark.operators.asof import asof_join
+
+    e = _t(spark, sf_dir, "events")
+    left = e.select("event_id", "user_id", "ts")
+    w = Window.partitionBy("user_id", "ts").orderBy(F.col("event_id").desc())
+    right = (
+        e.where(F.col("event_type") == "login")
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)  # unique (key, ts) on the right side
+        .select("user_id", "ts", F.col("event_id").alias("login_event"),
+                "value")
+    )
+    out = asof_join(left, right, on="user_id", ts="ts",
+                    payload=["login_event", "value"])
+    return out.select(
+        "event_id", "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+        F.col("asof_login_event").alias("login_event"),
+        F.round(F.col("asof_value").cast("decimal(18,6)"), 4)
+        .cast("double").alias("login_value"),
+    )
+
+
+def q_hash_embedding_knn(spark, sf_dir):
+    """End-to-end TEXT similarity: hashed bag-of-words embeddings (feature
+    hashing, pure expressions — functions.hash_embedding_expr) over every
+    5th document, brute-force cosine top-3 for the first three of them.
+    The text→vector stage that fills chunks.embedding, oracle-checked
+    end-to-end against a full DuckDB re-computation."""
+    from rag_pdf_parser_spark.functions import hash_embedding_expr
+
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 5 == 0)
+    emb = d.select(F.col("doc_id").alias("vec_id"),
+                   hash_embedding_expr(F.col("text")).alias("embedding"))
+    return brute_force_topk(emb, emb.where(F.col("vec_id") < 15), k=3)
+
+
 def q_rollup_order_counts(spark, sf_dir):
     """Grouping-sets coverage: ROLLUP over status × priority."""
     o = _t(spark, sf_dir, "orders")
@@ -490,6 +533,43 @@ def q_supplier_distinct_parts(spark, sf_dir):
         F.countDistinct("l_partkey").alias("n_parts"),
         F.round(F.sum(F.col("l_quantity").cast("decimal(18,6)")), 2)
         .cast("double").alias("total_qty"),
+    )
+
+
+def q_value_percentiles(spark, sf_dir):
+    """Exact percentiles (linear interpolation) per event_type — ordered-agg
+    coverage; Spark `percentile` ≡ DuckDB `quantile_cont`."""
+    e = _t(spark, sf_dir, "events")
+    pct = F.percentile(F.col("value"), F.lit([0.25, 0.5, 0.75]))
+    return e.groupBy("event_type").agg(
+        F.round(F.element_at(pct, 1), 4).alias("p25"),
+        F.round(F.element_at(pct, 2), 4).alias("p50"),
+        F.round(F.element_at(pct, 3), 4).alias("p75"),
+        F.count("*").alias("n"),
+    )
+
+
+def q_urgent_not_failed(spark, sf_dir):
+    """Set-operation coverage (EXCEPT distinct): customers with urgent
+    orders minus customers with any failed-status order."""
+    o = _t(spark, sf_dir, "orders")
+    urgent = o.where(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    failed = o.where(F.col("o_orderstatus") == "F").select("o_custkey")
+    return urgent.subtract(failed)  # EXCEPT (distinct set semantics)
+
+
+def q_customer_order_counts_outer(spark, sf_dir):
+    """LEFT OUTER join + null-safe aggregate coverage: every customer with
+    their order count, zero included."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"),
+             F.round(F.sum(F.coalesce(F.col("o_totalprice"), F.lit(0.0))
+                           .cast("decimal(18,6)")), 2)
+             .cast("double").alias("total_spent"))
     )
 
 
@@ -728,6 +808,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_json": q_events_json,
         "section_carry_events": q_section_carry_events,
         "page_merge_rule": q_page_merge_rule,
+        "asof_login": q_asof_login,
+        "hash_embedding_knn": q_hash_embedding_knn,
         "heading_level": q_heading_level,
         "dict_translate": q_dict_translate,
         "embedding_near_dups": q_embedding_near_dups,
@@ -736,6 +818,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customers_with_orders": q_customers_with_orders,
         "supplier_distinct_parts": q_supplier_distinct_parts,
         "lineitem_filter_scan": q_lineitem_filter_scan,
+        "value_percentiles": q_value_percentiles,
+        "urgent_not_failed": q_urgent_not_failed,
+        "customer_order_counts_outer": q_customer_order_counts_outer,
         # rows-only (non-SQL-expressible: pipeline over synthetic pages /
         # engine fast paths; byte-identity asserted in tests/)
         "extract_pages": q_extract_pages,
@@ -1172,6 +1257,74 @@ def oracle_sql() -> dict[str, str]:
                              AND regexp_matches(substring(nxt, 1, 1), '[a-z]') THEN 'space'
                         ELSE 'none' END AS merge_kind
             FROM w
+        """,
+        "value_percentiles": """
+            SELECT event_type,
+                   round(quantile_cont(value, 0.25), 4) AS p25,
+                   round(quantile_cont(value, 0.50), 4) AS p50,
+                   round(quantile_cont(value, 0.75), 4) AS p75,
+                   count(*) AS n
+            FROM events GROUP BY event_type
+        """,
+        "urgent_not_failed": """
+            SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+            EXCEPT
+            SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        """,
+        "customer_order_counts_outer": """
+            SELECT c_custkey, count(o_orderkey) AS n_orders,
+                   CAST(round(sum(CAST(coalesce(o_totalprice, 0.0) AS DECIMAL(18,6))), 2) AS DOUBLE)
+                     AS total_spent
+            FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+            GROUP BY c_custkey
+        """,
+        "hash_embedding_knn": f"""
+            WITH toks AS (
+              SELECT doc_id AS vec_id,
+                     list_filter(string_split({_NORM}, ' '),
+                                 t -> length(t) > 0) AS tk
+              FROM documents WHERE doc_id % 5 = 0
+            ),
+            emb AS (
+              SELECT vec_id,
+                     list_transform(range(32), i -> CAST(len(list_filter(tk,
+                       t -> ((instr('0123456789abcdef', substring(md5(t), 1, 1)) - 1) * 16
+                             + (instr('0123456789abcdef', substring(md5(t), 2, 1)) - 1)) % 32
+                            = i)) AS DOUBLE)) AS v
+              FROM toks
+            ),
+            scored AS (
+              SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+                     round(list_dot_product(q.v, c.v)
+                           / (sqrt(list_dot_product(q.v, q.v))
+                              * sqrt(list_dot_product(c.v, c.v))), 4) AS cosine
+              FROM emb q, emb c
+              WHERE q.vec_id < 15 AND c.vec_id != q.vec_id
+            ),
+            ranked AS (
+              SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS rnk
+              FROM scored
+            )
+            SELECT query_id, cand_id, cosine, CAST(rnk AS INT) AS rank
+            FROM ranked WHERE rnk <= 3
+        """,
+        "asof_login": """
+            WITH logins AS (
+              SELECT user_id, ts, event_id AS login_event, value,
+                     row_number() OVER (PARTITION BY user_id, ts
+                                        ORDER BY event_id DESC) AS rn
+              FROM events WHERE event_type = 'login'
+            ), r AS (
+              SELECT user_id, ts, login_event, value FROM logins WHERE rn = 1
+            )
+            SELECT e.event_id, e.user_id,
+                   strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+                   r.login_event,
+                   CAST(round(CAST(r.value AS DECIMAL(18,6)), 4) AS DOUBLE)
+                     AS login_value
+            FROM events e
+            ASOF LEFT JOIN r ON e.user_id = r.user_id AND e.ts >= r.ts
         """,
         **_generated_oracles(),
     }

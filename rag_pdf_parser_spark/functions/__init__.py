@@ -204,6 +204,42 @@ def fingerprint_expr(text: Column, prefix_len: int = 128) -> Column:
     )
 
 
+def hash_embedding_expr(text: Column, dim: int = 32) -> Column:
+    """Hashed bag-of-words text embedding (feature hashing / 'hashing
+    trick'): token → bucket via the first two hex chars of md5(token)
+    (portable to DuckDB without bigint hex parsing), bucket counts as a
+    dense double vector. The training-data pipeline's deterministic
+    text→vector source; L2-normalize via `l2_normalize_expr` for cosine
+    workloads. Pure expressions — no UDF, no shuffle."""
+    assert dim <= 256, "two-hex-char bucketing supports dim <= 256"
+    toks = F.filter(F.split(normalized_text_expr(text), " "),
+                    lambda t: F.length(t) > 0)
+    hexes = F.lit("0123456789abcdef")
+
+    def bucket(t: Column) -> Column:
+        h = F.md5(t)
+        return (
+            (F.instr(hexes, F.substring(h, 1, 1)) - 1) * 16
+            + (F.instr(hexes, F.substring(h, 2, 1)) - 1)
+        ) % dim
+
+    init = F.array(*[F.lit(0.0)] * dim)
+    return F.aggregate(
+        toks, init,
+        lambda acc, t: F.transform(
+            acc, lambda v, i: v + F.when(bucket(t) == i, F.lit(1.0))
+            .otherwise(F.lit(0.0))
+        ),
+    )
+
+
+def l2_normalize_expr(vec: Column) -> Column:
+    """v / max(||v||, 1e-12), elementwise — pure expression."""
+    norm = F.sqrt(F.aggregate(vec, F.lit(0.0), lambda a, v: a + v * v))
+    safe = F.greatest(norm, F.lit(1e-12))
+    return F.transform(vec, lambda v: v / safe)
+
+
 def cosine_expr(a: Column, b: Column) -> Column:
     """Cosine similarity between two float arrays via zip_with + aggregate —
     JVM-side, no UDF (similarity-search baseline)."""

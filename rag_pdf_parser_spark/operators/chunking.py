@@ -90,6 +90,19 @@ def chunk_documents_sorted(blocks: DataFrame,
     return src.mapInPandas(run, CHUNKS_SCHEMA)
 
 
+def embed_chunks(chunks: DataFrame, dim: int = 32) -> DataFrame:
+    """Fill the chunk embedding slot (chunk.py:45) with an L2-normalized
+    hashed bag-of-words vector — pure expressions, no UDF, no shuffle; the
+    deterministic stand-in for a model embedding stage (north rule). The
+    result feeds the similarity family directly (knn/ANN/IVF over chunks)."""
+    from ..functions import hash_embedding_expr, l2_normalize_expr
+
+    vec = l2_normalize_expr(hash_embedding_expr(F.col("text"), dim))
+    return chunks.withColumn(
+        "embedding", F.transform(vec, lambda v: v.cast("float"))
+    )
+
+
 def chunks_jsonl(chunks: DataFrame) -> DataFrame:
     """K3 sink projection — the embedding column is excluded per
     /root/reference/src/models/chunk.py:52-60 (chunk JSONL never carries

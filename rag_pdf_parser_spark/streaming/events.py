@@ -85,3 +85,17 @@ def run_stream_once(spark: SparkSession, src_parquet: str, schema,
     q.processAllAvailable()
     q.stop()
     return spark.sql(f"SELECT * FROM {query_name}")
+
+
+def dedup_events(events: DataFrame, watermark: str = "1 hour",
+                 keys: tuple[str, ...] = ("event_id",)) -> DataFrame:
+    """Streaming dedup slot: `dropDuplicatesWithinWatermark` on the event
+    key — duplicates arriving within the watermark horizon are suppressed
+    and the dedup state ages out with the watermark (bounded memory, the
+    only shape that survives an unbounded stream). Static DataFrames take
+    the plain distinct path, so batch and streaming twins agree."""
+    ev = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    if ev.isStreaming:
+        return ev.withWatermark("ts", watermark) \
+            .dropDuplicatesWithinWatermark(list(keys))
+    return ev.dropDuplicates(list(keys))

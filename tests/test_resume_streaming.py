@@ -262,3 +262,98 @@ def test_bucketed_seen_hashes_join_avoids_shuffle(spark, tmp_path):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
         spark.sql("DROP TABLE IF EXISTS seen_bucketed")
+
+
+class TestAsofJoin:
+    """Custom as-of join (operators/asof.py) vs pandas merge_asof."""
+
+    def _frames(self, spark):
+        left = spark.createDataFrame(
+            [(1, "a", 10), (2, "a", 25), (3, "a", 5), (4, "b", 7), (5, "c", 9)],
+            "event_id long, k string, ts long",
+        )
+        right = spark.createDataFrame(
+            [("a", 10, 100.0), ("a", 20, 200.0), ("b", 8, 300.0)],
+            "k string, ts long, px double",
+        )
+        return left, right
+
+    def test_matches_pandas_merge_asof(self, spark):
+        import pandas as pd
+
+        from rag_pdf_parser_spark.operators.asof import asof_join
+
+        left, right = self._frames(spark)
+        got = {r["event_id"]: (r["asof_ts"], r["asof_px"])
+               for r in asof_join(left, right, on="k", ts="ts").collect()}
+
+        lp = left.toPandas().sort_values("ts")
+        rp = right.toPandas().sort_values("ts")
+        exp = pd.merge_asof(lp, rp, on="ts", by="k")
+        for _, row in exp.iterrows():
+            a_ts, a_px = got[row["event_id"]]
+            if pd.isna(row["px"]):
+                assert a_px is None, row["event_id"]
+            else:
+                assert a_px == row["px"] and a_ts is not None
+
+    def test_inclusive_at_equal_ts(self, spark):
+        from rag_pdf_parser_spark.operators.asof import asof_join
+
+        left, right = self._frames(spark)
+        got = {r["event_id"]: r["asof_px"]
+               for r in asof_join(left, right, on="k", ts="ts").collect()}
+        assert got[1] == 100.0  # ts == 10 matches the ts=10 right row
+        assert got[2] == 200.0
+        assert got[3] is None   # nothing at or before ts=5
+        assert got[5] is None   # key with no right rows
+
+    def test_tolerance(self, spark):
+        from pyspark.sql import functions as F
+
+        from rag_pdf_parser_spark.operators.asof import asof_join
+
+        left, right = self._frames(spark)
+        got = {r["event_id"]: r["asof_px"]
+               for r in asof_join(left, right, on="k", ts="ts",
+                                  tolerance=F.lit(2)).collect()}
+        assert got[1] == 100.0   # staleness 0 <= 2
+        assert got[2] is None    # ts=25 vs right ts=20 → staleness 5 > 2
+        assert got[4] is None    # ts=7 has no right at/before (right ts=8 is after)
+
+    def test_one_shuffle_plan(self, spark):
+        from rag_pdf_parser_spark.operators.asof import asof_join
+
+        left, right = self._frames(spark)
+        plan = asof_join(left, right, on="k", ts="ts")._jdf \
+            .queryExecution().executedPlan().toString()
+        # union-window formulation: exactly one Exchange (on the key), no join
+        assert plan.count("Exchange hashpartitioning") == 1, plan
+        assert "Join" not in plan, plan
+
+
+def test_streaming_dedup_matches_batch(spark, tmp_path):
+    """dropDuplicatesWithinWatermark over a stream with injected duplicate
+    event_ids produces exactly the batch-distinct row set."""
+    from rag_pdf_parser_spark.streaming.events import dedup_events
+
+    src = str(tmp_path / "dup_events")
+    ckpt = str(tmp_path / "ckpt_dedup")
+    base = spark.read.parquet("/root/testdata/sf0.001/events.parquet") \
+        .limit(500)
+    # duplicate every row once (two files → at least two micro-batch inputs)
+    base.write.mode("overwrite").parquet(src)
+    base.write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema(base.schema).parquet(src)
+    q = (
+        dedup_events(stream).writeStream.outputMode("append")
+        .format("memory").queryName("dedup_sink")
+        .option("checkpointLocation", ckpt).start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {r["event_id"] for r in spark.sql("SELECT * FROM dedup_sink").collect()}
+    exp = {r["event_id"] for r in dedup_events(spark.read.parquet(src)).collect()}
+    assert got == exp
+    assert len(got) == base.count()

@@ -243,3 +243,27 @@ def test_caption_and_metadata_through_spark(spark, pages_df, golden_docs):
             assert rb["caption"] == gb["caption"], (url, gb["block_id"])
             n_caps += rb["caption"] is not None
     assert n_caps > 50  # figures/charts/tables/formulas carry captions
+
+
+def test_embed_chunks_fills_slot(spark, pages_df):
+    """chunks.embedding: null at chunking time, filled by the embedding
+    stage (unit-norm hashed-BoW), excluded by the JSONL sink."""
+    from rag_pdf_parser_spark.operators.chunking import chunks_jsonl, embed_chunks
+    from rag_pdf_parser_spark.operators.extract import (
+        explode_chunks,
+        extract_docs_full,
+    )
+
+    chunks = explode_chunks(extract_docs_full(pages_df))
+    assert chunks.where(F.col("embedding").isNotNull()).count() == 0
+
+    emb = embed_chunks(chunks)
+    rows = emb.select(
+        F.size("embedding").alias("d"),
+        F.aggregate("embedding", F.lit(0.0),
+                    lambda a, v: a + v.cast("double") * v.cast("double"))
+        .alias("sq"),
+    ).collect()
+    assert all(r["d"] == 32 for r in rows)
+    assert all(abs(r["sq"] - 1.0) < 1e-5 for r in rows)
+    assert "embedding" not in chunks_jsonl(emb).columns
