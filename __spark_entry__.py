@@ -717,6 +717,44 @@ def q_chunk_provenance(spark, sf_dir):
     )
 
 
+def q_phash_near_dups(spark, sf_dir):
+    """D3 end-to-end: perceptual near-dup pairs by average-hash Hamming
+    distance (nibble-wise over the hex strings — portable, no 64-bit hex
+    parse). The all-pairs comparison is the bounded test harness (100 media);
+    the corpus-scale path buckets by hash bands exactly like MinHash-LSH."""
+    feats = q_image_features(spark, sf_dir).select("media_id", "phash")
+    hexes = F.lit("0123456789abcdef")
+
+    def ham(a, b):
+        total = None
+        for i in range(1, 17):
+            na = F.instr(hexes, F.substring(a, i, 1)) - 1
+            nb = F.instr(hexes, F.substring(b, i, 1)) - 1
+            t = F.bit_count(na.bitwiseXOR(nb))
+            total = t if total is None else total + t
+        return total
+
+    a = feats.select(F.col("media_id").alias("id_a"), F.col("phash").alias("pa"))
+    b = feats.select(F.col("media_id").alias("id_b"), F.col("phash").alias("pb"))
+    return (
+        a.crossJoin(b).where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b",
+                ham(F.col("pa"), F.col("pb")).cast("int").alias("hamming"))
+        .where(F.col("hamming") <= 16)
+    )
+
+
+def q_bilingual_interleave(spark, sf_dir):
+    """M6 bilingual interleave (translator.py:211-258 shape): original,
+    blank line, *translation* for ko/zh rows; en passes through."""
+    from rag_pdf_parser_spark.operators.translate import bilingual_interleave
+
+    d = _t(spark, sf_dir, "documents")
+    return bilingual_interleave(d, text_col="text").select(
+        "doc_id", "bilingual", "translation"
+    )
+
+
 def q_xy_cut_order(spark, sf_dir):
     """W3 — column-aware XY reading-order kernel (extractor.py:304-356) over
     a deterministic positioned-boxes fixture."""
@@ -810,6 +848,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "page_merge_rule": q_page_merge_rule,
         "asof_login": q_asof_login,
         "hash_embedding_knn": q_hash_embedding_knn,
+        "phash_near_dups": q_phash_near_dups,
+        "bilingual_interleave": q_bilingual_interleave,
         "heading_level": q_heading_level,
         "dict_translate": q_dict_translate,
         "embedding_near_dups": q_embedding_near_dups,
@@ -845,6 +885,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # ---------------------------------------------------------------------------
 
 _NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+# shared DuckDB expression: the deterministic dictionary translation (M6)
+_TRANSLATE_EXPR = (
+    "array_to_string(list_transform(string_split_regex(text, '\\s+'), "
+    "t -> CASE t WHEN '分布' THEN 'distributed' WHEN '分析' THEN 'analysis' "
+    "WHEN '处理' THEN 'processing' WHEN '学习' THEN 'training' "
+    "WHEN '引擎' THEN 'engine' WHEN '提取' THEN 'extract' "
+    "WHEN '数据' THEN 'data' WHEN '文档' THEN 'document' "
+    "WHEN '模型' THEN 'model' WHEN '管道' THEN 'pipeline' "
+    "WHEN '系统' THEN 'system' WHEN '结果' THEN 'result' "
+    "WHEN '语言' THEN 'language' WHEN '速度' THEN 'speed' "
+    "WHEN '验证' THEN 'verification' WHEN '검증' THEN 'verification' "
+    "WHEN '결과' THEN 'result' WHEN '데이터' THEN 'data' "
+    "WHEN '모델' THEN 'model' WHEN '문서' THEN 'document' "
+    "WHEN '분산' THEN 'distributed' WHEN '분석' THEN 'analysis' "
+    "WHEN '속도' THEN 'speed' WHEN '시스템' THEN 'system' "
+    "WHEN '언어' THEN 'language' WHEN '엔진' THEN 'engine' "
+    "WHEN '처리' THEN 'processing' WHEN '추출' THEN 'extract' "
+    "WHEN '파이프라인' THEN 'pipeline' WHEN '학습' THEN 'training' "
+    "ELSE t END), ' ')"
+)
 
 _LANG_SQL = f"""
 WITH c AS (
@@ -1202,12 +1263,18 @@ def oracle_sql() -> dict[str, str]:
                    ) AS INT) AS token_est
             FROM documents
         """,
-        "dict_translate": """
+        "dict_translate": f"""
+            SELECT doc_id, {_TRANSLATE_EXPR} AS translated
+            FROM documents
+        """,
+        "bilingual_interleave": f"""
             SELECT doc_id,
-                   array_to_string(
-                     list_transform(string_split_regex(text, '\\s+'),
-                       t -> CASE t WHEN '分布' THEN 'distributed' WHEN '分析' THEN 'analysis' WHEN '处理' THEN 'processing' WHEN '学习' THEN 'training' WHEN '引擎' THEN 'engine' WHEN '提取' THEN 'extract' WHEN '数据' THEN 'data' WHEN '文档' THEN 'document' WHEN '模型' THEN 'model' WHEN '管道' THEN 'pipeline' WHEN '系统' THEN 'system' WHEN '结果' THEN 'result' WHEN '语言' THEN 'language' WHEN '速度' THEN 'speed' WHEN '验证' THEN 'verification' WHEN '검증' THEN 'verification' WHEN '결과' THEN 'result' WHEN '데이터' THEN 'data' WHEN '모델' THEN 'model' WHEN '문서' THEN 'document' WHEN '분산' THEN 'distributed' WHEN '분석' THEN 'analysis' WHEN '속도' THEN 'speed' WHEN '시스템' THEN 'system' WHEN '언어' THEN 'language' WHEN '엔진' THEN 'engine' WHEN '처리' THEN 'processing' WHEN '추출' THEN 'extract' WHEN '파이프라인' THEN 'pipeline' WHEN '학습' THEN 'training' ELSE t END),
-                     ' ') AS translated
+                   CASE WHEN lang IN ('ko', 'zh')
+                        THEN text || chr(10) || chr(10) || '*'
+                             || {_TRANSLATE_EXPR} || '*'
+                        ELSE text END AS bilingual,
+                   CASE WHEN lang IN ('ko', 'zh')
+                        THEN {_TRANSLATE_EXPR} END AS translation
             FROM documents
         """,
         "heading_level": """
@@ -1355,6 +1422,7 @@ def _generated_oracles() -> dict[str, str]:
         "ann_topk": O.ann_topk_sql,
         "ivf_topk": O.ivf_topk_sql,
         "image_features": O.image_features_sql,
+        "phash_near_dups": O.phash_near_dups_sql,
         "markdown_segment": O.markdown_segment_sql,
     }
     for name, gen in gens.items():

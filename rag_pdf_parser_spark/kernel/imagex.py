@@ -25,12 +25,17 @@ BLOCK = 8          # average-hash blocks per side
 
 
 def fake_decode_gray(raw: bytes | None, grid: int = GRID) -> list[int]:
-    """Deterministic stand-in for image decoding: first grid² codepoints of
-    the UTF-8 decode (errors='replace'), each mod 256, zero-padded."""
+    """Deterministic stand-in for image decoding: codepoints of the UTF-8
+    decode (errors='replace') mod 256, TILED to fill the grid² canvas (an
+    empty payload is all-zero). Tiling rather than zero-padding keeps every
+    8×8 hash block signal-bearing for short payloads — zero-padding would
+    collapse all short texts to the same degenerate hash."""
     text = (raw or b"").decode("utf-8", errors="replace")
-    px = [ord(c) % 256 for c in text[: grid * grid]]
-    px.extend(0 for _ in range(grid * grid - len(px)))
-    return px
+    cp = [ord(c) % 256 for c in text[: grid * grid]]
+    if not cp:
+        return [0] * (grid * grid)
+    n = len(cp)
+    return [cp[i % n] for i in range(grid * grid)]
 
 
 def avg_hash_64(px: list[int], grid: int = GRID, blocks: int = BLOCK) -> str:

@@ -63,3 +63,45 @@ def image_features(media: DataFrame, id_col: str = "media_id",
     return src.repartition(n, F.xxhash64(F.col(id_col))).mapInPandas(
         run, IMAGE_FEATURES_SCHEMA
     )
+
+
+def media_from_blocks(blocks: DataFrame) -> DataFrame:
+    """S5 analog (embedded-image scan, aggregator.py:219-257 [legacy]): emit
+    one media row per visual block (figure/chart). Real image bytes don't
+    exist in the HTML-text lane, so the payload is the deterministic
+    fake-decode contract input (caption/text bytes) — the schema, keys and
+    downstream feature/dedup path are the real thing."""
+    vis = blocks.where(F.col("type").isin("figure", "chart"))
+    return vis.select(
+        F.concat_ws("/", "doc_id", "block_id").alias("media_id"),
+        F.col("type").alias("media_type"),
+        F.encode(F.coalesce(F.col("caption"), F.col("text"), F.lit("")),
+                 "utf-8").alias("content"),
+        "doc_id", "block_id",
+    )
+
+
+def write_media_blobs(media: DataFrame, out_dir: str,
+                      id_col: str = "media_id",
+                      bytes_col: str = "content") -> DataFrame:
+    """K5 analog (image-crop sink, ir_processor.py:467-508): blob-per-row
+    writer via foreachPartition — executors write files named from the media
+    id; the returned frame carries the relative path column exactly like the
+    reference records crop paths on blocks. At scale this is the
+    object-store put pattern (one file per media row, path derivable from
+    the key — no driver involvement)."""
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_part(rows):
+        for r in rows:
+            rel = str(r[id_col]).replace("/", "_") + ".bin"
+            with open(os.path.join(out_dir, rel), "wb") as f:
+                f.write(bytes(r[bytes_col]) if r[bytes_col] is not None else b"")
+
+    media.foreachPartition(write_part)
+    return media.withColumn(
+        "image_path",
+        F.concat(F.regexp_replace(F.col(id_col), "/", "_"), F.lit(".bin")),
+    )

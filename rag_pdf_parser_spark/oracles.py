@@ -341,14 +341,9 @@ FROM ranked WHERE rnk <= {k}
 """
 
 
-def image_features_sql() -> str:
-    """Full average-hash + features re-computed in DuckDB list lambdas over
-    the same codepoint matrix the kernel fake-decoder builds. All block/global
-    means are exact in doubles (denominators 64 and 4096), so the comparison
-    is bit-exact. png/jpeg byte magics cannot occur as the UTF-8 encoding of
-    a leading text char (0x89/0xFF are not valid UTF-8 lead bytes), so only
-    the 'GIF' prefix is reachable — mirrored here."""
-    return """
+# shared CTE chain: documents (doc_id < 100) → image features incl. the
+# average-hash, re-implemented entirely in DuckDB list lambdas
+_IMAGE_FEATURES_CTE = """
 WITH base AS (
   SELECT CAST(doc_id AS VARCHAR) AS media_id, text,
          list_transform(string_split(substring(text, 1, 4096), ''),
@@ -356,10 +351,12 @@ WITH base AS (
   FROM documents WHERE doc_id < 100
 ),
 px AS (
+  -- tile the codepoints to fill the 64x64 canvas (kernel fake_decode_gray)
   SELECT media_id, text, cp,
-         list_concat(list_transform(cp[1:4096], x -> x),
-                     list_transform(range(4096 - least(len(cp), 4096)),
-                                    x -> 0)) AS p
+         CASE WHEN len(cp) = 0
+              THEN list_transform(range(4096), x -> 0)
+              ELSE list_transform(range(4096), i -> cp[(i % len(cp)) + 1])
+         END AS p
   FROM base
 ),
 bm AS (
@@ -386,15 +383,47 @@ ent AS (
            (len(list_filter(cp, v -> v // 16 = b)) * 1.0
             / greatest(len(cp), 1)) ^ 2)), 6) AS entropy_q
   FROM hashed
+),
+feats AS (
+  SELECT media_id,
+         CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+         entropy_q,
+         printf('%08x%08x', CAST(coalesce(hi, 0) AS BIGINT),
+                CAST(coalesce(lo, 0) AS BIGINT)) AS phash,
+         CASE WHEN starts_with(text, 'GIF') THEN 'gif' ELSE 'unknown' END
+           AS format_guess
+  FROM ent
 )
-SELECT media_id,
-       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-       entropy_q,
-       printf('%08x%08x', CAST(coalesce(hi, 0) AS BIGINT),
-              CAST(coalesce(lo, 0) AS BIGINT)) AS phash,
-       CASE WHEN starts_with(text, 'GIF') THEN 'gif' ELSE 'unknown' END
-         AS format_guess
-FROM ent
+"""
+
+
+def image_features_sql() -> str:
+    """Full average-hash + features re-computed in DuckDB list lambdas over
+    the same codepoint matrix the kernel fake-decoder builds. All block/global
+    means are exact in doubles (denominators 64 and 4096), so the comparison
+    is bit-exact. png/jpeg byte magics cannot occur as the UTF-8 encoding of
+    a leading text char (0x89/0xFF are not valid UTF-8 lead bytes), so only
+    the 'GIF' prefix is reachable — mirrored here."""
+    return _IMAGE_FEATURES_CTE + """
+SELECT media_id, n_bytes, entropy_q, phash, format_guess FROM feats
+"""
+
+
+def phash_near_dups_sql(max_hamming: int = 16) -> str:
+    """Perceptual near-dup pairs (D3 end-to-end): Hamming distance between
+    average-hashes computed nibble-wise over the hex strings (engine-portable
+    — no 64-bit hex parsing needed in either engine)."""
+    nib = ("(instr('0123456789abcdef', substring({col}, {i}, 1)) - 1)")
+    ham = " + ".join(
+        f"bit_count(xor({nib.format(col='a.phash', i=i)}, "
+        f"{nib.format(col='b.phash', i=i)}))"
+        for i in range(1, 17)
+    )
+    return _IMAGE_FEATURES_CTE + f"""
+SELECT a.media_id AS id_a, b.media_id AS id_b,
+       CAST({ham} AS INT) AS hamming
+FROM feats a JOIN feats b ON a.media_id < b.media_id
+WHERE ({ham}) <= {max_hamming}
 """
 
 

@@ -357,3 +357,36 @@ def test_streaming_dedup_matches_batch(spark, tmp_path):
     exp = {r["event_id"] for r in dedup_events(spark.read.parquet(src)).collect()}
     assert got == exp
     assert len(got) == base.count()
+
+
+def test_media_scan_and_blob_sink(spark, tmp_path, pages_df):
+    """S5/K5 analogs: visual blocks → media table → per-row blob files with
+    recorded relative paths; payload bytes round-trip exactly."""
+    import os
+
+    from rag_pdf_parser_spark.operators.extract import explode_blocks, extract_docs
+    from rag_pdf_parser_spark.operators.multimodal import (
+        image_features,
+        media_from_blocks,
+        write_media_blobs,
+    )
+
+    blocks = explode_blocks(extract_docs(pages_df))
+    media = media_from_blocks(blocks)
+    n = media.count()
+    assert n > 20
+    assert media.columns == ["media_id", "media_type", "content",
+                             "doc_id", "block_id"]
+
+    out = str(tmp_path / "blobs")
+    with_paths = write_media_blobs(media, out)
+    rows = with_paths.select("image_path", "content").collect()
+    assert len(os.listdir(out)) == n
+    for r in rows[:10]:
+        with open(os.path.join(out, r["image_path"]), "rb") as f:
+            assert f.read() == bytes(r["content"])
+
+    # the media table feeds the feature/dedup path directly
+    feats = image_features(media)
+    assert feats.count() == n
+    assert feats.where(F.length("phash") == 16).count() == n
