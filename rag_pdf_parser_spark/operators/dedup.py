@@ -24,7 +24,11 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions import char_ngrams_expr, minhash_sha_expr, normalized_text_hash_expr
+from ..functions import (
+    char_ngrams_expr,
+    normalized_text_expr,
+    normalized_text_hash_expr,
+)
 
 
 # --- exact -------------------------------------------------------------------
@@ -88,16 +92,24 @@ def minhash_signature(df: DataFrame, text_col: str = "text", n: int = 5,
     flavor='sha': lexicographic min of sha256(shingle||'#'||j) — portable to
     the DuckDB oracle (same strings both engines).
     """
-    # Explode shingles \u2192 hash-aggregate with k primitive min() columns.
-    # This is the scalable shape: whole-stage-codegen'd mins, map-side
-    # partial aggregation collapses each doc to ONE k-wide row per task
-    # before the shuffle (shuffle volume \u2248 ids \u00d7 k, independent of text
-    # size). Array-accumulator folds (allocate per shingle) and per-column
-    # array_min over a shared array expression (CollapseProject re-shingles
-    # per column) both measured slower by 3-10\u00d7.
+    # Shape notes (measured at sf0.1, 32 cores):
+    # - explode the INDEX SEQUENCE and take substrings AFTER the Generate;
+    #   exploding a materialized per-row string ARRAY (transform+substring
+    #   inside the row) measured 37x slower (15.8 s -> 0.43 s for the
+    #   signature) — Generate copies the whole array per output row, and
+    #   array_distinct adds nothing (min over repeated shingles == min over
+    #   distinct shingles; signatures verified identical).
+    # - hash-aggregate with k primitive min()s: map-side partial aggregation
+    #   collapses each doc to ONE k-wide row per task before the shuffle
+    #   (shuffle volume = ids x k, independent of text size). Hashing is
+    #   nearly free next to the Generate.
     id_cols = [c for c in df.columns if c != text_col] or [text_col]
-    sh = df.select(*id_cols,
-                   F.explode(char_ngrams_expr(F.col(text_col), n)).alias("__g"))
+    pre = df.select(*id_cols,
+                    normalized_text_expr(F.col(text_col)).alias("__t"))
+    idx = F.sequence(F.lit(1), F.greatest(F.length("__t") - (n - 1), F.lit(1)))
+    sh = pre.select(*id_cols, "__t", F.explode(idx).alias("__i")).select(
+        *id_cols, F.substring(F.col("__t"), F.col("__i"), F.lit(n)).alias("__g")
+    )
     if flavor == "xx":
         aggs = [F.min(F.xxhash64(F.col("__g"), F.lit(j))).alias(f"mh{j}")
                 for j in range(num_perm)]
