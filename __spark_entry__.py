@@ -463,6 +463,15 @@ def q_heading_level(spark, sf_dir):
     return d.select("doc_id", level.alias("heading_level"))
 
 
+def q_user_sessions(spark, sf_dir):
+    """Session windows (streaming-capable F.session_window; §2.10 family):
+    per-user sessions with a 30-minute inactivity gap. Oracle: DuckDB
+    gaps-and-islands re-derivation."""
+    from rag_pdf_parser_spark.streaming.events import user_sessions
+
+    return user_sessions(_t(spark, sf_dir, "events"))
+
+
 def q_asof_login(spark, sf_dir):
     """As-of join (custom operator, operators/asof.py): every event enriched
     with the most recent login event of the same user at-or-before its
@@ -847,6 +856,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "section_carry_events": q_section_carry_events,
         "page_merge_rule": q_page_merge_rule,
         "asof_login": q_asof_login,
+        "user_sessions": q_user_sessions,
         "hash_embedding_knn": q_hash_embedding_knn,
         "phash_near_dups": q_phash_near_dups,
         "bilingual_interleave": q_bilingual_interleave,
@@ -1375,6 +1385,24 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT query_id, cand_id, cosine, CAST(rnk AS INT) AS rank
             FROM ranked WHERE rnk <= 3
+        """,
+        "user_sessions": """
+            WITH o AS (
+              SELECT user_id, ts, value, event_id,
+                     CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                               < INTERVAL 30 MINUTE
+                          THEN 0 ELSE 1 END AS brk
+              FROM events
+            ), s AS (
+              SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                       ROWS UNBOUNDED PRECEDING) AS sid
+              FROM o
+            )
+            SELECT strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+                   strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS session_end,
+                   user_id, count(*) AS n_events,
+                   CAST(round(sum(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE) AS sum_value
+            FROM s GROUP BY user_id, sid
         """,
         "asof_login": """
             WITH logins AS (

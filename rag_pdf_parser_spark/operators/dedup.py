@@ -24,11 +24,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions import (
-    char_ngrams_expr,
-    normalized_text_expr,
-    normalized_text_hash_expr,
-)
+from ..functions import normalized_text_expr, normalized_text_hash_expr
 
 
 # --- exact -------------------------------------------------------------------
@@ -227,10 +223,14 @@ def simhash_hamming(a: Column, b: Column) -> Column:
 def ngram_jaccard_pairs(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
                         text_col: str = "text", n: int = 5) -> DataFrame:
     """Exact n-gram Jaccard for candidate pairs (id_a, id_b): explode distinct
-    shingles, equi-join on shingle, |∩| / (|A|+|B|-|∩|)."""
-    sh = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(char_ngrams_expr(F.col(text_col), n)).alias("g"),
+    shingles, equi-join on shingle, |∩| / (|A|+|B|-|∩|). Index-sequence
+    explode + post-Generate substring (the 37× minhash finding applies here
+    too); distinctness via the relational distinct that was already needed."""
+    pre = df.select(F.col(id_col).alias("id"),
+                    normalized_text_expr(F.col(text_col)).alias("__t"))
+    idx = F.sequence(F.lit(1), F.greatest(F.length("__t") - (n - 1), F.lit(1)))
+    sh = pre.select("id", "__t", F.explode(idx).alias("__i")).select(
+        "id", F.substring(F.col("__t"), F.col("__i"), F.lit(n)).alias("g")
     ).distinct()
     sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
     a = sh.select(F.col("id").alias("id_a"), "g")

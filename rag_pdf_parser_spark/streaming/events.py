@@ -99,3 +99,27 @@ def dedup_events(events: DataFrame, watermark: str = "1 hour",
         return ev.withWatermark("ts", watermark) \
             .dropDuplicatesWithinWatermark(list(keys))
     return ev.dropDuplicates(list(keys))
+
+
+def user_sessions(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Session-window aggregation per user (`F.session_window`): a session
+    is a maximal run of events whose inter-event gap is < `gap`; the window
+    end is last-event + gap (Spark semantics, [start, end)). Works on static
+    or streaming input (watermark applied when streaming). The DuckDB oracle
+    re-derives sessions with the gaps-and-islands formulation."""
+    ev = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    if ev.isStreaming:
+        ev = ev.withWatermark("ts", gap)
+    return (
+        ev.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")), 4)
+            .cast("double").alias("sum_value"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format("w.end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+            "user_id", "n_events", "sum_value",
+        )
+    )
