@@ -545,6 +545,36 @@ def q_supplier_distinct_parts(spark, sf_dir):
     )
 
 
+def q_orders_with_returned_items(spark, sf_dir):
+    """Correlated-EXISTS shape (TPC-H Q4 flavor on this schema): orders
+    having at least one returned lineitem (l_returnflag = 'R'), counted by
+    priority — semi-join after a pushed-down filter."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    ret = li.where(F.col("l_returnflag") == "R").select("l_orderkey").distinct()
+    return (
+        o.join(ret, o.o_orderkey == ret.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+    )
+
+
+def q_cumulative_customer_revenue(spark, sf_dir):
+    """Running-total window: per customer, cumulative order value over time
+    (rows-frame with a deterministic tiebreak)."""
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return o.select(
+        "o_custkey", "o_orderkey",
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,6)")).over(w), 2)
+        .cast("double").alias("cum_revenue"),
+    )
+
+
 def q_value_percentiles(spark, sf_dir):
     """Exact percentiles (linear interpolation) per event_type — ordered-agg
     coverage; Spark `percentile` ≡ DuckDB `quantile_cont`."""
@@ -869,6 +899,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "supplier_distinct_parts": q_supplier_distinct_parts,
         "lineitem_filter_scan": q_lineitem_filter_scan,
         "value_percentiles": q_value_percentiles,
+        "orders_with_returned_items": q_orders_with_returned_items,
+        "cumulative_customer_revenue": q_cumulative_customer_revenue,
         "urgent_not_failed": q_urgent_not_failed,
         "customer_order_counts_outer": q_customer_order_counts_outer,
         # rows-only (non-SQL-expressible: pipeline over synthetic pages /
@@ -1334,6 +1366,23 @@ def oracle_sql() -> dict[str, str]:
                              AND regexp_matches(substring(nxt, 1, 1), '[a-z]') THEN 'space'
                         ELSE 'none' END AS merge_kind
             FROM w
+        """,
+        "orders_with_returned_items": """
+            SELECT o_orderpriority, count(*) AS n_orders
+            FROM orders
+            WHERE EXISTS (SELECT 1 FROM lineitem
+                          WHERE l_orderkey = o_orderkey
+                            AND l_returnflag = 'R')
+            GROUP BY o_orderpriority
+        """,
+        "cumulative_customer_revenue": """
+            SELECT o_custkey, o_orderkey,
+                   CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6)))
+                        OVER (PARTITION BY o_custkey
+                              ORDER BY o_orderdate, o_orderkey
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                        2) AS DOUBLE) AS cum_revenue
+            FROM orders
         """,
         "value_percentiles": """
             SELECT event_type,

@@ -246,6 +246,61 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, dim: int, k: int = 5,
     )
 
 
+def write_ivf_index(corpus: DataFrame, path: str, n_lists: int = 8,
+                    sample_n: int = 512, seed: int = 42,
+                    id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> np.ndarray:
+    """Materialize the IVF layout the 100-TB path relies on: fit the coarse
+    quantizer, assign every corpus vector to its list, and write the corpus
+    PARTITIONED BY list_id. A query then reads only its n_probe/n_lists
+    partitions — real partition pruning at the storage layer, not a join
+    optimization. Returns the centroids (the tiny model a reader needs)."""
+    sample = quantizer_sample(corpus, sample_n, id_col, vec_col)
+    cents = _kmeans_fit(sample, n_lists, seed=seed)
+    corpus.withColumn(
+        "list_id", _nearest_centroid_expr(vec_col, cents)
+    ).write.mode("overwrite").partitionBy("list_id").parquet(path)
+    return cents
+
+
+def ivf_topk_from_index(spark, path: str, centroids: np.ndarray,
+                        queries: DataFrame, k: int = 5, n_probe: int = 2,
+                        id_col: str = "vec_id",
+                        vec_col: str = "embedding") -> DataFrame:
+    """Query the on-disk IVF index: probe-list filter → partition-pruned
+    scan (verify `PartitionFilters` in the plan) → exact cosine re-rank."""
+    corpus = spark.read.parquet(path)
+    q_rows = queries.select(id_col, vec_col).collect()
+    probe_rows = []
+    for r in q_rows:
+        qv = np.array(r[vec_col], dtype="float64")
+        d = ((centroids - qv[None, :]) ** 2).sum(axis=1)
+        for lid in np.argsort(d, kind="stable")[:n_probe]:
+            probe_rows.append((int(r[id_col]), list(map(float, qv)), int(lid)))
+    probes = spark.createDataFrame(
+        probe_rows, "query_id long, query_v array<double>, list_id int"
+    )
+    wanted = sorted({int(r[2]) for r in probe_rows})
+    pruned = corpus.where(F.col("list_id").isin(wanted))
+    scored = (
+        pruned.join(F.broadcast(probes), "list_id")
+        .where(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id", F.col(id_col).alias("cand_id"),
+            F.round(cosine_expr(F.col("query_v"), F.col(vec_col)), 4)
+            .alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("cand_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "cand_id", "cosine", "rank")
+    )
+
+
 def brute_force_topk_numpy(corpus: DataFrame, queries_pdf: pd.DataFrame,
                            k: int = 5, id_col: str = "vec_id",
                            vec_col: str = "embedding") -> DataFrame:

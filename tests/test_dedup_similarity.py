@@ -217,3 +217,30 @@ def test_lsh_max_bucket_guard(spark, docs_df):
              for r in lsh_candidate_pairs(docs_df, bands=4, num_perm=8,
                                           max_bucket=2).collect()}
     assert ("d00", "d01") not in pairs
+
+
+def test_ivf_disk_index_partition_pruning(spark, vecs_df, tmp_path):
+    """The 100-TB IVF shape: corpus written partitionBy(list_id); a query
+    scans ONLY its probed partitions (PartitionFilters in the plan) and
+    returns the same answers as the in-memory IVF."""
+    from rag_pdf_parser_spark.operators.similarity import (
+        ivf_topk,
+        ivf_topk_from_index,
+        write_ivf_index,
+    )
+
+    path = str(tmp_path / "ivf_index")
+    cents = write_ivf_index(vecs_df, path, n_lists=5)
+    queries = vecs_df.where(F.col("vec_id") < 3)
+
+    out = ivf_topk_from_index(spark, path, cents, queries, k=3, n_probe=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    # the pruned scan must actually name list_id filters (non-empty list)
+    seg = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+    assert "list_id" in seg, seg
+
+    direct = sorted(map(tuple, ivf_topk(
+        vecs_df, queries, dim=16, k=3, n_lists=5, n_probe=2).collect()))
+    via_disk = sorted(map(tuple, out.collect()))
+    assert via_disk == direct
