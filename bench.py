@@ -139,6 +139,23 @@ def run_bench() -> dict:
           .agg(F.sum("l_quantity"), F.sum("l_extendedprice"), F.count("*"))
           .collect())
 
+    # round-2 operators
+    from rag_pdf_parser_spark.functions import hash_embedding_expr
+    from rag_pdf_parser_spark.operators.asof import asof_join
+
+    ev = spark.read.parquet(os.path.join(SF_DIR, "events.parquet"))
+    left = ev.select("event_id", "user_id", "ts")
+    right = ev.where(F.col("event_type") == "login").select(
+        "user_id", "ts", F.col("event_id").alias("login_event"))
+    timed("asof_join",
+          lambda: asof_join(left, right, on="user_id", ts="ts").count())
+    emb_docs = docs_t.select(
+        F.col("doc_id").alias("vec_id"),
+        hash_embedding_expr(F.col("text")).alias("embedding"))
+    timed("hash_embedding_knn",
+          lambda: brute_force_topk(
+              emb_docs, emb_docs.where(F.col("vec_id") < 5), k=5).count())
+
     pages.unpersist()
     raw_pages.unpersist()
     spark.stop()
