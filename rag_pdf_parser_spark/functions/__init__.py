@@ -223,11 +223,17 @@ def hash_embedding_expr(text: Column, dim: int = 32) -> Column:
             + (F.instr(hexes, F.substring(h, 2, 1)) - 1)
         ) % dim
 
+    # Hash each token ONCE into an int bucket index, THEN fold the index
+    # array into the dim-wide accumulator. Referencing md5 inside the
+    # per-element accumulator lambda would re-evaluate it dim× per token
+    # (the HOF re-evaluation trap) — here the only work inside the fold is
+    # an int compare.
+    bucket_idx = F.transform(toks, bucket)
     init = F.array(*[F.lit(0.0)] * dim)
     return F.aggregate(
-        toks, init,
-        lambda acc, t: F.transform(
-            acc, lambda v, i: v + F.when(bucket(t) == i, F.lit(1.0))
+        bucket_idx, init,
+        lambda acc, b: F.transform(
+            acc, lambda v, i: v + F.when(b == i, F.lit(1.0))
             .otherwise(F.lit(0.0))
         ),
     )

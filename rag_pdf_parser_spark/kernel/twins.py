@@ -19,7 +19,10 @@ Semantics notes (must match the Spark expressions EXACTLY):
 from __future__ import annotations
 
 import hashlib
+import math
 import re
+import struct
+from decimal import ROUND_HALF_UP, Decimal
 from functools import lru_cache
 
 from .xxh import _signed, spark_xxhash64, xxh64_bytes, xxh64_int
@@ -100,3 +103,72 @@ def simhash64(text: str) -> int:
         if votes[b] > 0:
             fp += (1 << b) if b < 63 else -(1 << 63)
     return fp
+
+
+# --- hashed-embedding / cosine twins (chunk-level similarity golden) ---------
+
+def hash_embedding(text: str, dim: int = 32) -> list[float]:
+    """Twin of functions.hash_embedding_expr: token -> bucket via the first
+    two hex chars of md5(token), bucket counts as doubles. Counts are exact
+    integers, so summation order is irrelevant here."""
+    v = [0.0] * dim
+    for t in normalized_text(text).split(" "):
+        if t:
+            h = hashlib.md5(t.encode("utf-8")).hexdigest()
+            v[int(h[:2], 16) % dim] += 1.0
+    return v
+
+
+def _f32(x: float) -> float:
+    """Round-to-nearest float32, returned as the exact double it denotes —
+    bit-identical to the JVM's (float) cast in embed_chunks."""
+    return struct.unpack("f", struct.pack("f", x))[0]
+
+
+def l2_normalize_f32(v: list[float]) -> list[float]:
+    """Twin of functions.l2_normalize_expr + embed_chunks' float cast:
+    sequential-fold sum of squares (matches F.aggregate's left fold),
+    IEEE sqrt/divide, then float32."""
+    acc = 0.0
+    for x in v:
+        acc += x * x
+    safe = max(math.sqrt(acc), 1e-12)
+    return [_f32(x / safe) for x in v]
+
+
+def cosine_seq(a: list[float], b: list[float]) -> float:
+    """Twin of functions.cosine_expr: products via zip, sequential left-fold
+    sums, dot/(na*nb) — same IEEE operation order as the Spark expression."""
+    dot = 0.0
+    for x, y in zip(a, b):
+        dot += x * y
+    na = 0.0
+    for x in a:
+        na += x * x
+    nb = 0.0
+    for y in b:
+        nb += y * y
+    denom = math.sqrt(na) * math.sqrt(nb)
+    return dot / denom if denom != 0.0 else float("nan")
+
+
+def round_half_up(x: float, nd: int = 4) -> float:
+    """Twin of Spark F.round on doubles (BigDecimal HALF_UP over the
+    shortest decimal repr — Python repr() is the same shortest repr)."""
+    q = Decimal(1).scaleb(-nd)
+    return float(Decimal(repr(x)).quantize(q, rounding=ROUND_HALF_UP))
+
+
+def brute_force_topk_rows(embs: dict, query_ids: list, k: int = 3) -> list[tuple]:
+    """Twin of operators.similarity.brute_force_topk over {id: vec}: rounded
+    cosine desc, id asc tiebreak, row_number <= k."""
+    rows = []
+    for qid in query_ids:
+        scored = sorted(
+            ((round_half_up(cosine_seq(embs[qid], v), 4), cid)
+             for cid, v in embs.items() if cid != qid),
+            key=lambda s: (-s[0], s[1]),
+        )
+        rows += [(qid, cid, cos, r)
+                 for r, (cos, cid) in enumerate(scored[:k], 1)]
+    return rows

@@ -37,6 +37,12 @@ def asof_join(left: DataFrame, right: DataFrame, on: str, ts: str,
     `tolerance`: optional max staleness interval column/literal — right rows
     older than ``left.ts - tolerance`` do not match (same semantics as
     pandas.merge_asof tolerance).
+
+    Duplicate right rows at the same (key, ts) are broken DETERMINISTICALLY:
+    the window order includes a content hash of the right payload, so the
+    winner is the same row at any parallelism / partitioning (the repo's
+    determinism discipline, SURVEY §7.4.1) — not whichever row the sort
+    happened to place last.
     """
     payload = payload or [c for c in right.columns if c not in (on, ts)]
     l_tag = left.select(
@@ -47,7 +53,9 @@ def asof_join(left: DataFrame, right: DataFrame, on: str, ts: str,
             right.select(F.struct(*[F.col(c) for c in [ts] + payload])
                          .alias("s")).schema["s"].dataType
         ).alias("__r"),
+        F.lit(0).cast("long").alias("__tb"),
     )
+    r_payload = F.struct(*[F.col(c) for c in [ts] + payload])
     r_tag = right.select(
         F.col(on).alias("__k"), F.col(ts).alias("__ts"),
         F.lit(0).alias("__side"),
@@ -55,11 +63,14 @@ def asof_join(left: DataFrame, right: DataFrame, on: str, ts: str,
             left.select(F.struct(*[F.col(c) for c in left.columns])
                         .alias("s")).schema["s"].dataType
         ).alias("__l"),
-        F.struct(*[F.col(c) for c in [ts] + payload]).alias("__r"),
+        r_payload.alias("__r"),
+        # deterministic tiebreak for duplicate (key, ts) right rows:
+        # content hash of the payload — stable across partitionings
+        F.xxhash64(r_payload).alias("__tb"),
     )
     w = (
         Window.partitionBy("__k")
-        .orderBy("__ts", "__side")
+        .orderBy("__ts", "__side", "__tb")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     carried = (

@@ -105,9 +105,17 @@ def extract_docs_full(pages: DataFrame, partitions: int | None = None,
     into the extraction pass costs nothing and removes the groupBy(doc_id)
     shuffle + per-group pandas overhead of the standalone grouped-map —
     the right plan shape at 10^12 docs. Use `chunk_documents` only when
-    chunking pre-existing block tables."""
-    n = partitions or int(pages.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    src = pages.select("url", "html").repartition(n, F.xxhash64("url"))
+    chunking pre-existing block tables.
+
+    `salt=False` skips the defusal repartition (same contract as
+    `extract_docs`): correct when the input is already url-hash bucketed at
+    ingest — re-shuffling an already-bucketed 10^12-row corpus is pure waste.
+    """
+    src = pages.select("url", "html")
+    if salt:
+        n = partitions or int(
+            pages.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+        src = src.repartition(n, F.xxhash64("url"))
     return src.mapInPandas(_extract_full_batches, DOCS_FULL_SCHEMA)
 
 

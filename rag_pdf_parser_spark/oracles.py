@@ -234,6 +234,28 @@ def simhash64_sql() -> str:
     return values_sql(rows, [("doc_id", "BIGINT"), ("simhash", "BIGINT")])
 
 
+def chunk_knn_sql(n_pages: int = 300, k: int = 3, n_queries: int = 3) -> str:
+    """Golden for chunk-level similarity end-to-end: pages → extract →
+    chunk → hashed embedding (L2-normalized float32, chunk.py:45 slot) →
+    brute-force cosine top-k, all re-computed locally with zero Spark
+    involvement (kernel + twins, IEEE operation order mirrored exactly)."""
+    from .kernel.chunker import chunk_blocks
+    from .kernel.twins import (brute_force_topk_rows, hash_embedding,
+                               l2_normalize_f32)
+
+    embs = {
+        c["chunk_id"]: l2_normalize_f32(hash_embedding(c["text"]))
+        for _url, d in _kernel_docs(n_pages)
+        for c in chunk_blocks(d["blocks"], d["doc_id"])
+    }
+    qids = sorted(embs)[:n_queries]
+    rows = brute_force_topk_rows(embs, qids, k)
+    return values_sql(rows, [
+        ("query_id", "VARCHAR"), ("cand_id", "VARCHAR"),
+        ("cosine", "DOUBLE"), ("rank", "INTEGER"),
+    ])
+
+
 # --- independent SQL twins: ANN / IVF / image features / mdseg ---------------
 
 def _dlist(vec) -> str:

@@ -331,6 +331,34 @@ class TestAsofJoin:
         assert plan.count("Exchange hashpartitioning") == 1, plan
         assert "Join" not in plan, plan
 
+    def test_duplicate_right_ts_deterministic(self, spark):
+        """Round-2 verdict #5: duplicate (key, ts) right rows must yield the
+        SAME winner at every partitioning/row order — the window order now
+        includes a content-hash tiebreak of the right payload."""
+        from rag_pdf_parser_spark.operators.asof import asof_join
+
+        left = spark.createDataFrame(
+            [(i, "a", 50) for i in range(1, 6)] + [(9, "b", 50)],
+            "event_id long, k string, ts long",
+        )
+        dup_rows = [("a", 50, 100.0), ("a", 50, 200.0), ("a", 50, 300.0),
+                    ("b", 50, 7.0)]
+        results = []
+        for n in (1, 2, 16):
+            for rows in (dup_rows, dup_rows[::-1]):
+                right = spark.createDataFrame(
+                    rows, "k string, ts long, px double").repartition(n)
+                got = sorted(
+                    (r["event_id"], r["asof_px"])
+                    for r in asof_join(left.repartition(n), right,
+                                       on="k", ts="ts").collect()
+                )
+                results.append(got)
+        assert all(r == results[0] for r in results), results
+        # every left row on key 'a' carries the same (hash-chosen) winner
+        a_vals = {px for eid, px in results[0] if eid != 9}
+        assert len(a_vals) == 1, results[0]
+
 
 def test_streaming_dedup_matches_batch(spark, tmp_path):
     """dropDuplicatesWithinWatermark over a stream with injected duplicate
