@@ -848,6 +848,26 @@ def q_ivf_topk(spark, sf_dir):
                     n_lists=8, n_probe=3)
 
 
+def q_bilingual_markdown(spark, sf_dir):
+    """Paragraph-aware bilingual translation of whole markdown documents
+    (M6 end-to-end; translator.py:260-318 semantics with the dict stub in
+    the model slot): pages → extract → K1 markdown assembly →
+    translate_markdown_bilingual, compared byte-exactly (md5 + length) to
+    the local kernel+twin recomputation."""
+    from rag_pdf_parser_spark.operators.pagemerge import render_markdown_doc
+    from rag_pdf_parser_spark.operators.translate import (
+        translate_markdown_bilingual)
+
+    blocks = explode_blocks(extract_docs(synth_pages(spark, _N_PAGES_Q)))
+    md = render_markdown_doc(blocks)
+    out = translate_markdown_bilingual(md)
+    return out.select(
+        "doc_id",
+        F.md5(F.encode("bilingual_md", "utf-8")).alias("bilingual_md5"),
+        F.length("bilingual_md").alias("n_chars"),
+    )
+
+
 def q_chunk_embedding_knn(spark, sf_dir):
     """Chunk-level similarity END-TO-END (the chunk.py:45 embedding slot
     exercised for real): synthetic pages → fused extract+chunk
@@ -916,6 +936,9 @@ def q_image_features(spark, sf_dir):
 _EXTRA_KEYS = (
     "minhash_lsh_pairs", "simhash16", "knn_cosine", "quality_score",
     "order_priority_counts", "urgent_not_failed", "dict_translate",
+    # per-block interleave superseded in the driver set by the
+    # paragraph-aware whole-document form (bilingual_markdown)
+    "bilingual_interleave",
 )
 
 
@@ -930,6 +953,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_pdf_mixed": q_extract_pdf_mixed,
         "chunk_embedding_knn": q_chunk_embedding_knn,
         "ivf_disk_topk": q_ivf_disk_topk,
+        "bilingual_markdown": q_bilingual_markdown,
         # oracle-checked scalar/agg/window/join operators
         "lang_detect": q_lang_detect,
         "token_estimate": q_token_estimate,
@@ -1585,6 +1609,7 @@ def _generated_oracles() -> dict[str, str]:
         "chunk_provenance": lambda: O.chunk_provenance_sql(100),
         "extract_pdf_mixed": lambda: O.extract_pdf_mixed_sql(80),
         "chunk_embedding_knn": lambda: O.chunk_knn_sql(_N_PAGES_Q),
+        "bilingual_markdown": lambda: O.bilingual_markdown_sql(_N_PAGES_Q),
         # independent pure-Python XXH64 reimplementation goldens
         "minhash_lsh_xx": O.minhash_xx_sql,
         "simhash64": O.simhash64_sql,

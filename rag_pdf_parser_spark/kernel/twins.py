@@ -172,3 +172,23 @@ def brute_force_topk_rows(embs: dict, query_ids: list, k: int = 3) -> list[tuple
         rows += [(qid, cid, cos, r)
                  for r, (cos, cid) in enumerate(scored[:k], 1)]
     return rows
+
+
+def render_markdown_doc(blocks: list[dict]) -> str:
+    """Twin of operators.pagemerge.render_markdown_doc (K1 sink,
+    writer.py:80-87 semantics): markdown-bearing blocks in reading order,
+    '\\n---\\n<!-- Page N -->\\n\\n' before each page's first block (page>1),
+    '\\n\\n' between blocks otherwise."""
+    mds = [b for b in sorted(blocks, key=lambda b: b["reading_order"])
+           if b["markdown"]]
+    first_ro = {}
+    for b in mds:
+        first_ro.setdefault(b["page"], b["reading_order"])
+    out = []
+    for b in mds:
+        if first_ro[b["page"]] == b["reading_order"] and b["page"] > 1:
+            out.append("\n---\n<!-- Page %d -->\n\n" % b["page"])
+        elif b["reading_order"] > 0:
+            out.append("\n\n")
+        out.append(b["markdown"])
+    return "".join(out)

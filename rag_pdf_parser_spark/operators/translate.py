@@ -58,3 +58,103 @@ def bilingual_interleave(blocks: DataFrame, text_col: str = "text") -> DataFrame
     return blocks.withColumn("bilingual", out).withColumn(
         "translation", F.when(F.col("lang").isin("ko", "zh"), tr)
     )
+
+
+# --- paragraph-aware bilingual markdown (translator.py:211-318 semantics) ----
+
+#: line prefixes the reference's paragraph parser treats as 'special'
+#: (translator.py:265-275): emitted verbatim, never translated, and they
+#: flush any accumulated text paragraph.
+SPECIAL_PREFIXES = ("#", "![", "<!--", "*AI ", "|", "```", ">")
+
+
+def bilingual_markdown_expr(md: Column) -> Column:
+    """Paragraph-aware bilingual rendering of a whole markdown document —
+    the reference's translate_markdown_bilingual (translator.py:260-318)
+    with the deterministic dict stub in the model slot, as ONE pure
+    expression (fold over the line array, no UDF, no shuffle):
+
+    - lines split on '\\n'; special lines (headings, images, comments,
+      '*AI ' annotations, tables, fences, quotes, blank) pass through and
+      flush the pending paragraph;
+    - consecutive other lines accumulate into a paragraph; on flush the
+      output gains [paragraph, '', '> *<translation>*', ''] exactly as
+      _build_bilingual_output does (result_lines joined with '\\n').
+
+    Per-doc cost is linear in lines (the paragraph translation only
+    evaluates on flush branches); accumulator copies bound the constant —
+    fine for document-sized markdown, which is the only regime this runs in.
+    Blank-line detection uses Java's ASCII \\s class (the Python twin
+    mirrors it — SURVEY gotcha on \\s semantics)."""
+    lines = F.split(md, "\n", -1)
+
+    def special(l: Column) -> Column:
+        cond = l.rlike(r"^\s*$")
+        for p in SPECIAL_PREFIXES:
+            cond = cond | l.startswith(p)
+        return cond
+
+    def para_block(p: Column) -> Column:
+        return F.array(p, F.lit(""),
+                       F.concat(F.lit("> *"), dict_translate_expr(p), F.lit("*")),
+                       F.lit(""))
+
+    def flush(lines_acc: Column, para: Column) -> Column:
+        return F.when(para != "", F.concat(lines_acc, para_block(para))) \
+                .otherwise(lines_acc)
+
+    empty = F.array().cast("array<string>")
+    init = F.struct(empty.alias("out"), F.lit("").alias("para"))
+
+    def step(acc: Column, l: Column) -> Column:
+        is_sp = special(l)
+        new_out = F.when(is_sp, F.array_append(flush(acc["out"], acc["para"]), l)) \
+                   .otherwise(acc["out"])
+        new_para = F.when(is_sp, F.lit("")).otherwise(
+            F.when(acc["para"] == "", l)
+            .otherwise(F.concat(acc["para"], F.lit("\n"), l))
+        )
+        return F.struct(new_out.alias("out"), new_para.alias("para"))
+
+    return F.aggregate(
+        lines, init, step,
+        lambda acc: F.array_join(flush(acc["out"], acc["para"]), "\n"),
+    )
+
+
+def bilingual_markdown_py(content: str) -> str:
+    """Pure-Python twin of bilingual_markdown_expr (golden-oracle generator
+    and pytest reference) — same ASCII whitespace semantics as the Java
+    regexes in the expression."""
+    import re
+
+    ws_split = re.compile(r"[ \t\n\x0b\f\r]+")
+    blank = re.compile(r"^[ \t\n\x0b\f\r]*$")
+
+    def translate(p: str) -> str:
+        return " ".join(LEXICON.get(t, t) for t in ws_split.split(p))
+
+    out: list[str] = []
+    para: list[str] = []
+
+    def flush():
+        if para:
+            p = "\n".join(para)
+            out.extend([p, "", f"> *{translate(p)}*", ""])
+            para.clear()
+
+    for line in content.split("\n"):
+        if blank.match(line) or line.startswith(SPECIAL_PREFIXES):
+            flush()
+            out.append(line)
+        else:
+            para.append(line)
+    flush()
+    return "\n".join(out)
+
+
+def translate_markdown_bilingual(docs: DataFrame,
+                                 md_col: str = "markdown_doc") -> DataFrame:
+    """Document-level M6 slot: adds a `bilingual_md` column with the
+    paragraph-aware interleave of `md_col`."""
+    return docs.withColumn("bilingual_md", bilingual_markdown_expr(F.col(md_col)))

@@ -234,6 +234,31 @@ def simhash64_sql() -> str:
     return values_sql(rows, [("doc_id", "BIGINT"), ("simhash", "BIGINT")])
 
 
+def bilingual_markdown_sql(n_pages: int = 300) -> str:
+    """Golden for the paragraph-aware bilingual markdown chain: pages →
+    extract → K1 markdown assembly → translate_markdown_bilingual
+    (translator.py:260-318 semantics, dict stub in the model slot), all
+    re-computed locally; compared as (doc_id, md5, length) to keep the
+    VALUES small while still asserting byte identity."""
+    import hashlib as _h
+
+    from .kernel.twins import render_markdown_doc
+    from .operators.translate import bilingual_markdown_py
+
+    rows = []
+    for _url, d in _kernel_docs(n_pages):
+        md = render_markdown_doc(d["blocks"])
+        if not md:
+            continue
+        b = bilingual_markdown_py(md)
+        rows.append((d["doc_id"],
+                     _h.md5(b.encode("utf-8")).hexdigest(), len(b)))
+    return values_sql(rows, [
+        ("doc_id", "VARCHAR"), ("bilingual_md5", "VARCHAR"),
+        ("n_chars", "INTEGER"),
+    ])
+
+
 def chunk_knn_sql(n_pages: int = 300, k: int = 3, n_queries: int = 3) -> str:
     """Golden for chunk-level similarity end-to-end: pages → extract →
     chunk → hashed embedding (L2-normalized float32, chunk.py:45 slot) →

@@ -146,3 +146,40 @@ class TestTranslateSlot:
         assert rows["b1"]["translation"] == "data model"
         assert rows["b2"]["bilingual"] == "hello world"
         assert rows["b2"]["translation"] is None
+
+    def test_bilingual_markdown_expr_equals_twin(self, spark):
+        """Paragraph-aware whole-document bilingual rendering
+        (translator.py:260-318 semantics): the pure-expression fold must
+        byte-match the Python twin on every special-line kind — headings,
+        images, comments, '*AI ' annotations, tables, fences, quotes, blank
+        runs, trailing paragraphs, empty docs."""
+        from rag_pdf_parser_spark.operators.translate import (
+            bilingual_markdown_expr, bilingual_markdown_py)
+
+        samples = [
+            "# Title\n\n데이터 엔진 is fast\nsecond line\n\n| a | b |\n"
+            "| 1 | 2 |\n\n```\ncode 데이터\n```\n> quote\n*AI caption*\n"
+            "tail para 분석",
+            "plain only 数据 提取",
+            "",
+            "\n\n",
+            "# only special\n![img](x)\n<!-- c -->",
+            "para1\n\npara2 검증\n",
+            "   \nindented ok\n\t\nafter tab-blank",
+        ]
+        df = spark.createDataFrame(
+            [(i, s) for i, s in enumerate(samples)], "i int, md string")
+        got = {r["i"]: r["b"] for r in df.select(
+            "i", bilingual_markdown_expr(F.col("md")).alias("b")).collect()}
+        for i, s in enumerate(samples):
+            assert got[i] == bilingual_markdown_py(s), (i, got[i])
+
+    def test_bilingual_markdown_translates_paragraphs_only(self, spark):
+        from rag_pdf_parser_spark.operators.translate import (
+            bilingual_markdown_expr)
+
+        md = "# 데이터\n\n데이터 모델"
+        out = spark.createDataFrame([(md,)], "md string").select(
+            bilingual_markdown_expr(F.col("md")).alias("b")).collect()[0]["b"]
+        # heading passes through untranslated; paragraph gains the quote block
+        assert out == "# 데이터\n\n데이터 모델\n\n> *data model*\n"
