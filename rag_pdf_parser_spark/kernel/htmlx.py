@@ -152,11 +152,12 @@ def decode_html(raw: Optional[bytes]) -> tuple[str, str, Optional[str]]:
 
 # --- DOM ---------------------------------------------------------------------
 
-@dataclass
+@dataclass(slots=True)
 class _Node:
     tag: str
     attrs: dict
     children: list = field(default_factory=list)  # _Node | str
+    _text: Optional[str] = None  # memo — nodes are immutable after parse
 
     def own_text_parts(self) -> list[str]:
         out: list[str] = []
@@ -168,7 +169,10 @@ class _Node:
         return out
 
     def text(self) -> str:
-        return norm_ws("".join(self.own_text_parts()))
+        t = self._text
+        if t is None:
+            t = self._text = norm_ws("".join(self.own_text_parts()))
+        return t
 
     def link_chars(self) -> int:
         n = 0
@@ -233,7 +237,148 @@ class _TreeBuilder(HTMLParser):
             self.stack[-1].children.append(data)
 
 
+class _FastBailout(Exception):
+    """Raised by _fast_tree on any construct outside its exactly-mirrored
+    subset; parse_tree falls back to the stdlib builder."""
+
+
+_CDATA_CLOSE = {
+    t: re.compile(r"</\s*%s\s*>" % t, re.I)
+    for t in ("script", "style")
+}
+
+
+def _fast_tree(s: str) -> _Node:
+    """Single-pass tokenizer over the whole string — the hot path.
+
+    Produces the SAME tree as _TreeBuilder (stdlib HTMLParser,
+    convert_charrefs=True) for the constructs it accepts, reusing the
+    stdlib's own tolerant regexes for tag/attr grammar so the accepted
+    subset is semantically identical; anything else (bogus end tags,
+    unterminated comments/tags, '</>' …) raises _FastBailout and the caller
+    re-parses with the stdlib builder. Equality over the datagen corpus,
+    the malformed-HTML fixtures, and a structured fuzz sweep is asserted in
+    tests/test_kernel.py. ~3× faster than HTMLParser.goahead because it
+    skips the incremental-feed buffering, line/col tracking, and per-token
+    method dispatch."""
+    from html import unescape
+    from html.parser import (attrfind_tolerant, endtagfind,
+                             locatestarttagend_tolerant, tagfind_tolerant)
+
+    root = _Node("document", {})
+    stack = [root]
+    i, n = 0, len(s)
+    sfind = s.find
+    loc_match = locatestarttagend_tolerant.match
+    tag_match = tagfind_tolerant.match
+    attr_match = attrfind_tolerant.match
+    end_match = endtagfind.match
+    while i < n:
+        lt = sfind("<", i)
+        if lt < 0:
+            if i < n:
+                data = s[i:]
+                stack[-1].children.append(
+                    unescape(data) if "&" in data else data)
+            break
+        if lt > i:
+            data = s[i:lt]
+            stack[-1].children.append(unescape(data) if "&" in data else data)
+        c = s[lt + 1:lt + 2]
+        if c.isalpha():
+            m = loc_match(s, lt)
+            j = m.end()
+            if s.startswith(">", j):
+                endpos = j + 1
+            elif s.startswith("/>", j):
+                endpos = j + 2
+            else:
+                raise _FastBailout  # incomplete/odd start tag → stdlib path
+            tagm = tag_match(s, lt + 1)
+            tag = tagm.group(1).lower()
+            attrs: dict = {}
+            k = tagm.end()
+            while k < endpos:
+                am = attr_match(s, k)
+                if not am:
+                    break
+                name, rest, val = am.group(1, 2, 3)
+                if not rest:
+                    val = None
+                else:
+                    if val[:1] == "'" == val[-1:] or val[:1] == '"' == val[-1:]:
+                        val = val[1:-1]
+                    if "&" in val:
+                        val = unescape(val)
+                attrs[name.lower()] = val
+                k = am.end()
+            tail = s[k:endpos].strip()
+            if tail not in (">", "/>"):
+                # stdlib parse_starttag: junk between attrs and '>' → the
+                # whole tag text is data (raw, no unescape)
+                stack[-1].children.append(s[lt:endpos])
+                i = endpos
+                continue
+            selfclose = tail == "/>"
+            i = endpos
+            node = _Node(tag, attrs)
+            stack[-1].children.append(node)
+            if not selfclose and tag not in VOID_TAGS:
+                stack.append(node)
+                cd = _CDATA_CLOSE.get(tag)
+                if cd is not None:
+                    mm = cd.search(s, i)
+                    if mm is None:
+                        raise _FastBailout  # unterminated cdata element
+                    if mm.start() > i:
+                        node.children.append(s[i:mm.start()])  # raw, no unescape
+                    del stack[-1]
+                    i = mm.end()
+        elif c == "/":
+            m = end_match(s, lt)
+            if m is None:
+                raise _FastBailout  # bogus end tag → stdlib recovery
+            tag = m.group(1).lower()
+            for j in range(len(stack) - 1, 0, -1):
+                if stack[j].tag == tag:
+                    del stack[j:]
+                    break
+            i = m.end()
+        elif c == "!":
+            if s.startswith("<!--", lt):
+                end = sfind("-->", lt + 4)
+                if end < 0:
+                    raise _FastBailout
+                i = end + 3
+            else:
+                end = sfind(">", lt)
+                if end < 0:
+                    raise _FastBailout
+                i = end + 1
+        elif c == "?":
+            end = sfind(">", lt)
+            if end < 0:
+                raise _FastBailout
+            i = end + 1
+        else:
+            stack[-1].children.append("<")
+            i = lt + 1
+    return root
+
+
 def parse_tree(html_text: str) -> _Node:
+    try:
+        return _fast_tree(html_text)
+    except _FastBailout:
+        b = _TreeBuilder()
+        b.feed(html_text)
+        b.close()
+        return b.root
+
+
+def parse_tree_stdlib(html_text: str) -> _Node:
+    """The stdlib-HTMLParser reference path (equality twin for the fast
+    tokenizer; also the _FastBailout fallback)."""
     b = _TreeBuilder()
     b.feed(html_text)
     b.close()

@@ -398,3 +398,76 @@ class TestAvgHash:
         # top half bright, bottom half dark → first 32 bits set
         px = [200] * (64 * 32) + [10] * (64 * 32)
         assert avg_hash_64(px) == "ffffffff00000000"
+
+
+class TestFastTokenizer:
+    """The fast HTML tokenizer must be tree-equal to the stdlib
+    HTMLParser builder (its bailout fallback) — same tag/attr grammar via
+    the stdlib's own tolerant regexes; equality asserted over the datagen
+    corpus, adversarial snippets, and a structured random fuzz sweep."""
+
+    @staticmethod
+    def _norm(node):
+        kids, buf = [], []
+        for c in node.children:
+            if isinstance(c, str):
+                buf.append(c)
+            else:
+                if buf:
+                    kids.append("".join(buf))
+                    buf = []
+                kids.append(TestFastTokenizer._norm(c))
+        if buf:
+            kids.append("".join(buf))
+        return (node.tag, tuple(sorted(node.attrs.items())), tuple(kids))
+
+    def _check(self, text):
+        from rag_pdf_parser_spark.kernel import htmlx
+
+        try:
+            fast = htmlx._fast_tree(text)
+        except htmlx._FastBailout:
+            return 0  # falls back to the stdlib path — exact by definition
+        std = htmlx.parse_tree_stdlib(text)
+        assert self._norm(fast) == self._norm(std), repr(text[:200])
+        return 1
+
+    def test_datagen_corpus_tree_equal(self):
+        from rag_pdf_parser_spark.datagen import make_pages
+        from rag_pdf_parser_spark.kernel.htmlx import decode_html
+
+        handled = sum(self._check(decode_html(p["html"])[0])
+                      for p in make_pages(600))
+        # the fast path must actually be the common path, not a stub
+        assert handled >= 540, handled
+
+    def test_adversarial_snippets_tree_equal(self):
+        samples = [
+            "a < b and c > d", "<p>x &amp; y &lt;3 &nbsp;</p>",
+            "<p class='a' id=b data->x</p>", "<br/><img src='x'/>",
+            "<div/>leaf</div>after",
+            "<script>if (a<b) {x='</div>'}</script><p>t</p>",
+            "<style>a>b{}</style>", "<!-- comment -->text<!doctype html>",
+            "<?php echo ?>t", "<p>unclosed <em>nested", "</bogus attr=1>",
+            "</>", "<p att=\"a&quot;b\">t</p>", "<P ATTR=VaL>t</P>",
+            "<p>trailing &", "<p>&notareal;x</p>", "< p>not tag</ p>",
+            "text<", "<!--unterminated", "<script>never closed",
+            "<td colspan=2>x", "<p>&amp", "<a href=x>l</a>",
+            "\x00weird<p>\x01</p>", "<p = >x</p>", "<p//>x",
+        ]
+        for s in samples:
+            self._check(s)
+
+    def test_random_fuzz_tree_equal(self):
+        import random
+
+        rng = random.Random(7)
+        frags = ["<p>", "</p>", "<div class='x'>", "</div>", "text&amp;",
+                 "<", ">", "&", "<!--c-->", "<br/>", "<script>", "</script>",
+                 "x y z", "<img src=a alt='b'>", "</ul>", "<ul><li>i</li>",
+                 "&lt;", "<h2>t</h2>", "<?pi?>", "<!decl>", "'", '"', "=",
+                 "/", "<table><tr><td>c</td></tr></table>"]
+        for _ in range(1500):
+            s = "".join(rng.choice(frags)
+                        for _ in range(rng.randint(1, 30)))
+            self._check(s)
