@@ -848,6 +848,20 @@ def q_ivf_topk(spark, sf_dir):
                     n_lists=8, n_probe=3)
 
 
+def q_webtext_quality(spark, sf_dir):
+    """Gopher/C4 pre-training quality gate (Rae et al. 2021 §A1.1; Raffel
+    et al. 2020) over the documents table: word-count / mean-word-length
+    windows, alpha-word fraction, symbol ratio, top-bigram repetition
+    fraction (sorted-run fold, no O(n²)), C4 cues, and the composite
+    `gopher_keep` flag. Fully independent DuckDB twin (mode-count
+    formulation for the repetition stat)."""
+    from rag_pdf_parser_spark.functions import gopher_features_expr
+
+    d = _t(spark, sf_dir, "documents")
+    feats = gopher_features_expr(F.col("text"))
+    return d.select("doc_id", *[c.alias(k) for k, c in feats.items()])
+
+
 def q_bilingual_markdown(spark, sf_dir):
     """Paragraph-aware bilingual translation of whole markdown documents
     (M6 end-to-end; translator.py:260-318 semantics with the dict stub in
@@ -936,6 +950,9 @@ def q_image_features(spark, sf_dir):
 _EXTRA_KEYS = (
     "minhash_lsh_pairs", "simhash16", "knn_cosine", "quality_score",
     "order_priority_counts", "urgent_not_failed", "dict_translate",
+    # token_est column is also emitted by token_counts (same expression) —
+    # the green row moved there
+    "token_estimate",
     # per-block interleave superseded in the driver set by the
     # paragraph-aware whole-document form (bilingual_markdown)
     "bilingual_interleave",
@@ -954,6 +971,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_embedding_knn": q_chunk_embedding_knn,
         "ivf_disk_topk": q_ivf_disk_topk,
         "bilingual_markdown": q_bilingual_markdown,
+        "webtext_quality": q_webtext_quality,
         # oracle-checked scalar/agg/window/join operators
         "lang_detect": q_lang_detect,
         "token_estimate": q_token_estimate,
@@ -1399,6 +1417,52 @@ def _oracle_sql_all() -> dict[str, str]:
               FROM v a, v b WHERE a.vec_id < b.vec_id
             )
             SELECT id_a, id_b, cosine FROM pairs WHERE cosine >= 0.40
+        """,
+        "webtext_quality": """
+            WITH w AS (
+              SELECT doc_id, text,
+                     list_filter(string_split_regex(trim(text), '\\s+'),
+                                 t -> length(t) > 0) AS toks
+              FROM documents
+            ),
+            f AS (
+              SELECT doc_id, text, toks,
+                     len(toks) AS n_words,
+                     greatest(len(toks), 1)::DOUBLE AS safe_words,
+                     length(regexp_replace(text, '\\s', '', 'g'))::DOUBLE AS word_chars,
+                     len(list_filter(toks, t -> regexp_matches(t, '[A-Za-z]')))::DOUBLE AS alpha_words,
+                     ((length(text) - length(replace(text, '#', '')))
+                      + (length(text) - length(replace(text, '...', ''))) / 3
+                      + (length(text) - length(replace(text, '…', ''))))::DOUBLE AS n_sym,
+                     CASE WHEN len(toks) >= 2
+                          THEN list_transform(range(1, len(toks)),
+                                 i -> lower(toks[i]) || ' ' || lower(toks[i + 1]))
+                          ELSE [] END AS bg
+              FROM w
+            ),
+            g AS (
+              SELECT *, CASE WHEN len(bg) = 0 THEN 0
+                             ELSE len(list_filter(bg,
+                                    x -> x = list_aggregate(bg, 'mode'))) END AS top_cnt,
+                        greatest(len(bg), 1)::DOUBLE AS safe_bg
+              FROM f
+            )
+            SELECT doc_id,
+                   n_words,
+                   round(word_chars / safe_words, 6) AS mean_word_len,
+                   round(alpha_words / safe_words, 6) AS frac_alpha_words,
+                   round(n_sym / safe_words, 6) AS symbol_word_ratio,
+                   round(top_cnt / safe_bg, 6) AS top_bigram_frac,
+                   contains(lower(text), 'lorem ipsum') AS has_lorem,
+                   contains(text, '{') AS has_brace,
+                   regexp_matches(text, '[.!?"]\\s*$') AS ends_terminal_punct,
+                   (n_words >= 50 AND n_words <= 100000
+                    AND word_chars / safe_words >= 3.0
+                    AND word_chars / safe_words <= 10.0
+                    AND n_sym / safe_words < 0.1
+                    AND alpha_words / safe_words > 0.8
+                    AND top_cnt / safe_bg < 0.2) AS gopher_keep
+            FROM g
         """,
         "token_counts": f"""
             SELECT doc_id,

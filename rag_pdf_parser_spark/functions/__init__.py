@@ -261,3 +261,116 @@ def cosine_expr(a: Column, b: Column) -> Column:
         F.aggregate(b, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double"))
     )
     return dot / (na * nb)
+
+
+def gopher_features_expr(text: Column) -> dict[str, Column]:
+    """Gopher/C4-style web-text quality filters (Rae et al. 2021 'Scaling
+    Language Models' §A1.1; Raffel et al. 2020 C4 heuristics) as pure
+    expressions — the standard pre-training corpus gate, word-level subset
+    (line-level repetition lives in `line_features_expr`):
+
+    - word count + mean word length windows,
+    - fraction of words containing an alphabetic char,
+    - symbol-to-word ratio ('#', '...', '…'),
+    - top-bigram fraction (repetition): computed scale-cleanly as the
+      longest run in the SORTED bigram array (one O(n log n) array_sort +
+      linear fold — no O(n²) per-doc counting),
+    - C4 cues: 'lorem ipsum', '{' (code), terminal punctuation.
+
+    `gopher_keep` applies the standard thresholds (50..100k words, mean word
+    length 3..10, symbol ratio < 0.1, alpha-word fraction > 0.8, top-bigram
+    fraction < 0.2). All ratios are exact-integer divisions in IEEE double —
+    deterministic across engines; the DuckDB twin recomputes independently
+    (mode-count formulation instead of sorted runs)."""
+    toks = F.filter(F.split(F.trim(text), r"\s+"), lambda t: F.length(t) > 0)
+    n_words = F.size(toks).cast("double")
+    safe_words = F.greatest(n_words, F.lit(1.0))
+    word_chars = F.length(F.regexp_replace(text, r"\s", "")).cast("double")
+    alpha_words = F.size(
+        F.filter(toks, lambda t: t.rlike("[A-Za-z]"))).cast("double")
+    n_sym = (
+        F.regexp_count(text, F.lit("#"))
+        + F.regexp_count(text, F.lit(r"\.\.\."))
+        + F.regexp_count(text, F.lit("…"))
+    ).cast("double")
+
+    low = F.transform(toks, F.lower)
+    bigrams = F.when(
+        F.size(low) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(low) - 1),
+            lambda i: F.concat(F.element_at(low, i), F.lit(" "),
+                               F.element_at(low, i + 1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    sorted_b = F.array_sort(bigrams)
+    run_acc = F.aggregate(
+        sorted_b,
+        F.struct(F.lit("").alias("prev"), F.lit(0).alias("run"),
+                 F.lit(0).alias("best")),
+        lambda acc, g: F.struct(
+            g.alias("prev"),
+            F.when(g == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+            .alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(g == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+    )
+    top_bigram_frac = (
+        run_acc["best"].cast("double")
+        / F.greatest(F.size(sorted_b).cast("double"), F.lit(1.0))
+    )
+
+    mean_word_len = word_chars / safe_words
+    frac_alpha = alpha_words / safe_words
+    sym_ratio = n_sym / safe_words
+    keep = (
+        (n_words >= 50) & (n_words <= 100_000)
+        & (mean_word_len >= 3.0) & (mean_word_len <= 10.0)
+        & (sym_ratio < 0.1) & (frac_alpha > 0.8) & (top_bigram_frac < 0.2)
+    )
+    return {
+        "n_words": n_words.cast("long"),
+        "mean_word_len": F.round(mean_word_len, 6),
+        "frac_alpha_words": F.round(frac_alpha, 6),
+        "symbol_word_ratio": F.round(sym_ratio, 6),
+        "top_bigram_frac": F.round(top_bigram_frac, 6),
+        "has_lorem": F.lower(text).contains("lorem ipsum"),
+        "has_brace": text.contains("{"),
+        "ends_terminal_punct": text.rlike('[.!?"]\\s*$'),
+        "gopher_keep": keep,
+    }
+
+
+def line_features_expr(text: Column) -> dict[str, Column]:
+    """Line-level Gopher repetition/format features (duplicate-line
+    fraction via sorted-run fold, bullet-start and ellipsis-end line
+    fractions, terminal-punctuation line fraction). Same sorted-run trick
+    as the bigram stat — O(n log n) per doc, no joins."""
+    lines = F.filter(F.split(text, "\n", -1),
+                     lambda l: F.length(F.trim(l)) > 0)
+    n_lines = F.greatest(F.size(lines).cast("double"), F.lit(1.0))
+    sorted_l = F.array_sort(lines)
+    dup_acc = F.aggregate(
+        sorted_l,
+        F.struct(F.lit("").alias("prev"), F.lit(0).alias("dups")),
+        lambda acc, l: F.struct(
+            l.alias("prev"),
+            (acc["dups"] + F.when(l == acc["prev"], 1).otherwise(0))
+            .alias("dups"),
+        ),
+    )
+    frac = lambda cond: (  # noqa: E731
+        F.size(F.filter(lines, cond)).cast("double") / n_lines)
+    return {
+        "n_lines": F.size(lines).cast("long"),
+        "dup_line_frac": F.round(dup_acc["dups"].cast("double") / n_lines, 6),
+        "frac_bullet_lines": F.round(
+            frac(lambda l: F.trim(l).rlike("^[-*•]")), 6),
+        "frac_ellipsis_lines": F.round(
+            frac(lambda l: l.rlike(r"(\.\.\.|…)\s*$")), 6),
+        "frac_lines_term_punct": F.round(
+            frac(lambda l: l.rlike('[.!?"]\\s*$')), 6),
+    }
