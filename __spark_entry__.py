@@ -848,6 +848,26 @@ def q_ivf_topk(spark, sf_dir):
                     n_lists=8, n_probe=3)
 
 
+def q_corpus_line_dedup(spark, sf_dir):
+    """C4-style CORPUS-level line dedup end-to-end: pages → extraction →
+    drop every line repeating >= 2 times across the whole corpus (the
+    synthetic corpus carries real cross-document boilerplate: 164 repeated
+    lines / 844 occurrences at 300 pages) → per-doc reassembly. Golden
+    oracle recomputes the count→drop→rebuild chain locally."""
+    from rag_pdf_parser_spark.operators.dedup import dedup_lines_corpus
+
+    docs = extract_docs(synth_pages(spark, _N_PAGES_Q)).select(
+        "url", "extracted_text")
+    # keyed by url — unique per page (doc_id collides for empty pages:
+    # every EMPTY_HTML doc hashes to sha256(''))
+    out = dedup_lines_corpus(docs, text_col="extracted_text", id_col="url")
+    return out.select(
+        "url",
+        F.md5(F.encode("text_deduped", "utf-8")).alias("dedup_md5"),
+        "n_lines_kept", "n_lines_dropped",
+    )
+
+
 def q_webtext_quality(spark, sf_dir):
     """Gopher/C4 pre-training quality gate (Rae et al. 2021 §A1.1; Raffel
     et al. 2020) over the documents table: word-count / mean-word-length
@@ -953,6 +973,9 @@ _EXTRA_KEYS = (
     # token_est column is also emitted by token_counts (same expression) —
     # the green row moved there
     "token_estimate",
+    # pushdown coverage lives in the plan audit + pricing_summary's
+    # filtered scan; slot given to corpus_line_dedup
+    "lineitem_filter_scan",
     # per-block interleave superseded in the driver set by the
     # paragraph-aware whole-document form (bilingual_markdown)
     "bilingual_interleave",
@@ -972,6 +995,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_disk_topk": q_ivf_disk_topk,
         "bilingual_markdown": q_bilingual_markdown,
         "webtext_quality": q_webtext_quality,
+        "corpus_line_dedup": q_corpus_line_dedup,
         # oracle-checked scalar/agg/window/join operators
         "lang_detect": q_lang_detect,
         "token_estimate": q_token_estimate,
@@ -1674,6 +1698,7 @@ def _generated_oracles() -> dict[str, str]:
         "extract_pdf_mixed": lambda: O.extract_pdf_mixed_sql(80),
         "chunk_embedding_knn": lambda: O.chunk_knn_sql(_N_PAGES_Q),
         "bilingual_markdown": lambda: O.bilingual_markdown_sql(_N_PAGES_Q),
+        "corpus_line_dedup": lambda: O.corpus_line_dedup_sql(_N_PAGES_Q),
         # independent pure-Python XXH64 reimplementation goldens
         "minhash_lsh_xx": O.minhash_xx_sql,
         "simhash64": O.simhash64_sql,

@@ -258,3 +258,61 @@ def ngram_jaccard_pairs(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
             ).alias("jaccard"),
         )
     )
+
+
+def dedup_lines_corpus(docs: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id",
+                       min_repeat: int = 2) -> DataFrame:
+    """C4-style CORPUS-level line deduplication (Raffel et al. 2020 §2.2
+    'we discarded all but one of any three-sentence span occurring more than
+    once' — here at line granularity, the common web-pipeline variant):
+    drop every line whose exact text occurs >= `min_repeat` times across
+    the whole corpus (boilerplate: nav text, cookie banners, repeated
+    section stubs), reassemble each document's remaining lines in order.
+
+    Blank lines are never counted or dropped (they'd trivially repeat).
+
+    Scale shape (100 TB): Generate (no shuffle) → hash-aggregate on line
+    (shuffle ∝ distinct non-blank lines, map-side partial counts) →
+    LEFT ANTI join lines⟕dup_lines (shuffle on line; boilerplate keys are
+    the HOT keys but anti-join distributes BY line so each hot line's
+    occurrences co-locate and are dropped locally) → per-doc reassembly
+    (shuffle ∝ surviving lines) → join back to the docs table on id.
+    Returns the input columns + text_deduped, n_lines_kept, n_lines_dropped.
+
+    PRECONDITION: `id_col` must uniquely key `docs` rows (use the url, not
+    a content hash — duplicate ids would merge documents in the reassembly
+    groupBy). Same contract-documentation discipline as asof_join's
+    tiebreak (SURVEY §7.4.1).
+    """
+    lines = docs.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(F.split(F.col(text_col), "\n", -1)).alias("__pos", "__line"),
+    )
+    dup_lines = (
+        lines.where(F.length("__line") > 0)
+        .groupBy("__line").agg(F.count("*").alias("__c"))
+        .where(F.col("__c") >= min_repeat)
+        .select("__line")
+    )
+    survivors = lines.join(dup_lines, "__line", "left_anti")
+    rebuilt = survivors.groupBy("__id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__pos", "__line"))),
+                lambda s: s["__line"],
+            ),
+            "\n",
+        ).alias("text_deduped"),
+        F.count("*").alias("n_lines_kept"),
+    )
+    n_total = F.size(F.split(F.col(text_col), "\n", -1))
+    return (
+        docs.join(rebuilt, docs[id_col] == rebuilt["__id"], "left")
+        .drop("__id")
+        .withColumn("text_deduped", F.coalesce("text_deduped", F.lit("")))
+        .withColumn("n_lines_kept",
+                    F.coalesce("n_lines_kept", F.lit(0)).cast("int"))
+        .withColumn("n_lines_dropped",
+                    (n_total - F.col("n_lines_kept")).cast("int"))
+    )

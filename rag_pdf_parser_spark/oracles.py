@@ -234,6 +234,31 @@ def simhash64_sql() -> str:
     return values_sql(rows, [("doc_id", "BIGINT"), ("simhash", "BIGINT")])
 
 
+def corpus_line_dedup_sql(n_pages: int = 300, min_repeat: int = 2) -> str:
+    """Golden for C4-style corpus-level line dedup over the extracted texts:
+    the whole count→drop→reassemble chain re-computed locally (Counter +
+    list comprehension), compared as (doc_id, md5, kept, dropped)."""
+    import hashlib as _h
+    from collections import Counter
+
+    docs = [(url, d["extracted_text"]) for url, d in _kernel_docs(n_pages)]
+    cnt = Counter(l for _did, t in docs for l in t.split("\n") if l != "")
+    dup = {l for l, c in cnt.items() if c >= min_repeat}
+    rows = []
+    for did, t in docs:
+        ls = t.split("\n")
+        kept = [l for l in ls if l not in dup]
+        rows.append((
+            did,
+            _h.md5("\n".join(kept).encode("utf-8")).hexdigest(),
+            len(kept), len(ls) - len(kept),
+        ))
+    return values_sql(rows, [
+        ("url", "VARCHAR"), ("dedup_md5", "VARCHAR"),
+        ("n_lines_kept", "INTEGER"), ("n_lines_dropped", "INTEGER"),
+    ])
+
+
 def bilingual_markdown_sql(n_pages: int = 300) -> str:
     """Golden for the paragraph-aware bilingual markdown chain: pages →
     extract → K1 markdown assembly → translate_markdown_bilingual
