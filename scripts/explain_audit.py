@@ -126,6 +126,54 @@ def main() -> None:
         ["Window", "HashAggregate"],
     ))
 
+    # 9. fused extract, salt=False: NO Exchange anywhere (pre-bucketed
+    # input goes straight into the Arrow stage — r2 verdict #2)
+    from rag_pdf_parser_spark.operators.extract import extract_docs_full
+
+    unsalted = extract_docs_full(pages, salt=False)
+    unsalted_exec = unsalted._jdf.queryExecution().executedPlan().toString()
+    sections.append((
+        "fused extract+chunk, salt=False: zero Exchange",
+        plan_of(unsalted),
+        ["MapInPandas"],
+    ))
+    assert "Exchange" not in unsalted_exec, "salt=False must not shuffle"
+
+    # 10. webtext quality gate: pure projection over the scan — zero
+    # Exchange, all expressions in one stage
+    wq = E.q_webtext_quality(spark, SF)
+    wq_exec = wq._jdf.queryExecution().executedPlan().toString()
+    sections.append((
+        "webtext quality (Gopher/C4 filters): zero-shuffle projection",
+        plan_of(wq),
+        [],
+    ))
+    assert "Exchange" not in wq_exec, "quality gate must not shuffle"
+
+    # 11. bilingual markdown: ONE Python stage (the extraction), the whole
+    # paragraph parse + translate interleave as native expressions
+    bm = E.q_bilingual_markdown(spark, SF)
+    bm_plan = plan_of(bm)
+    sections.append((
+        "bilingual markdown: paragraph-aware fold as native expressions",
+        bm_plan,
+        ["MapInPandas"],
+    ))
+    assert bm_plan.count("MapInPandas (") == 1, \
+        "bilingual markdown: ONE Python stage (the extraction) only"
+    assert "FlatMapGroupsInPandas" not in bm_plan
+
+    # 12. corpus line dedup: Generate (no shuffle) -> partial-agg count ->
+    # anti join -> per-doc rebuild; no Python stages beyond extraction
+    cld = E.q_corpus_line_dedup(spark, SF)
+    cld_exec = cld._jdf.queryExecution().executedPlan().toString()
+    sections.append((
+        "corpus line dedup: explode -> partial count -> anti-join -> rebuild",
+        plan_of(cld),
+        ["Generate", "HashAggregate", "LeftAnti"],
+    ))
+    assert "partial_count" in cld_exec, "line counting must map-side combine"
+
     out = ["# PLANS — physical-plan audit (generated by scripts/explain_audit.py)\n"]
     failures = []
     for title, plan, expects in sections:
