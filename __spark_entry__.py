@@ -848,6 +848,21 @@ def q_ivf_topk(spark, sf_dir):
                     n_lists=8, n_probe=3)
 
 
+def q_dup_components(spark, sf_dir):
+    """Near-dup CLUSTERS from LSH pairs (the tail stage of the dedup
+    pipeline): iterative min-label propagation with convergence detection;
+    component = min doc id. Oracle: independent Python union-find over the
+    XXH64 pipeline twin's pair list."""
+    from rag_pdf_parser_spark.operators.dedup import (connected_components,
+                                                      lsh_candidate_pairs)
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = lsh_candidate_pairs(d, id_col="doc_id", num_perm=8, bands=4,
+                                flavor="xx")
+    return connected_components(pairs).select(
+        F.col("id").alias("doc_id"), F.col("comp").alias("component"))
+
+
 def q_corpus_line_dedup(spark, sf_dir):
     """C4-style CORPUS-level line dedup end-to-end: pages → extraction →
     drop every line repeating >= 2 times across the whole corpus (the
@@ -976,6 +991,9 @@ _EXTRA_KEYS = (
     # pushdown coverage lives in the plan audit + pricing_summary's
     # filtered scan; slot given to corpus_line_dedup
     "lineitem_filter_scan",
+    # cluster stage over the same pairs minhash_lsh_xx already checks —
+    # pytest-extras slot (driver registry is at the 50-row cap)
+    "dup_components",
     # per-block interleave superseded in the driver set by the
     # paragraph-aware whole-document form (bilingual_markdown)
     "bilingual_interleave",
@@ -996,6 +1014,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bilingual_markdown": q_bilingual_markdown,
         "webtext_quality": q_webtext_quality,
         "corpus_line_dedup": q_corpus_line_dedup,
+        "dup_components": q_dup_components,
         # oracle-checked scalar/agg/window/join operators
         "lang_detect": q_lang_detect,
         "token_estimate": q_token_estimate,
@@ -1701,6 +1720,7 @@ def _generated_oracles() -> dict[str, str]:
         "corpus_line_dedup": lambda: O.corpus_line_dedup_sql(_N_PAGES_Q),
         # independent pure-Python XXH64 reimplementation goldens
         "minhash_lsh_xx": O.minhash_xx_sql,
+        "dup_components": O.dup_components_sql,
         "simhash64": O.simhash64_sql,
         # fully independent DuckDB SQL twins
         "ann_topk": O.ann_topk_sql,

@@ -316,3 +316,73 @@ def dedup_lines_corpus(docs: DataFrame, text_col: str = "text",
         .withColumn("n_lines_dropped",
                     (n_total - F.col("n_lines_kept")).cast("int"))
     )
+
+
+def connected_components(pairs: DataFrame, id_a: str = "id_a",
+                         id_b: str = "id_b",
+                         max_iter: int = 20) -> DataFrame:
+    """Connected components over a near-duplicate pair list → (id,
+    component) with component = MIN node id in the cluster. The tail stage
+    of every dedup pipeline: LSH/phash emit PAIRS, but dropping duplicates
+    needs CLUSTERS (keep one canonical doc per component).
+
+    Spark-first: iterative min-label propagation — each round joins the
+    (undirected) edge list against current labels and takes the min label
+    over {self} ∪ neighbors. Rounds needed = graph diameter; near-dup
+    clusters are shallow (template families — diameter ≤ ~3), so this
+    converges in a handful of rounds; `max_iter` bounds pathological
+    chains. Convergence is detected by a per-round changed-count — one
+    driver-side scalar per round (control plane only, never row data).
+
+    At 10^12 scale each round is one shuffle of |E| on node id; for very
+    large graphs swap in alternating large-star/small-star (Kiveris et al.
+    2014) — same join primitive, fewer rounds on long chains.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id")).distinct()
+        .withColumn("comp", F.col("id"))
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges["dst"] == labels["id"])
+            .groupBy("src").agg(F.min("comp").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels["id"] == neighbor_min["src"],
+                        "left")
+            .select(
+                "id",
+                F.least(F.col("comp"), F.coalesce("nmin", F.col("comp")))
+                .alias("comp"),
+                (F.col("nmin") < F.col("comp")).alias("__changed"),
+            )
+        )
+        # localCheckpoint TRUNCATES LINEAGE — without it each round nests
+        # the whole previous plan and Catalyst re-analysis blows up
+        # super-linearly with iteration count (the standard iterative-Spark
+        # trap). On a real cluster use reliable checkpoint() instead so a
+        # lost executor can't lose label state.
+        new_labels = new_labels.localCheckpoint(eager=True)
+        changed = new_labels.where(F.col("__changed")).count()
+        labels = new_labels.drop("__changed")
+        if changed == 0:
+            break
+    return labels.select("id", "comp")
+
+
+def dedup_keep_canonical(docs: DataFrame, pairs: DataFrame,
+                         id_col: str = "doc_id", id_a: str = "id_a",
+                         id_b: str = "id_b") -> DataFrame:
+    """Keep exactly one document per near-dup component (the MIN id — a
+    deterministic canonical pick) plus every unpaired document. The
+    components table is usually tiny next to the corpus (only paired docs
+    appear in it), so the join back is broadcast-friendly."""
+    comp = connected_components(pairs, id_a, id_b)
+    drop = comp.where(F.col("id") != F.col("comp")).select(
+        F.col("id").alias(id_col))
+    return docs.join(drop, id_col, "left_anti")

@@ -284,6 +284,30 @@ def bilingual_markdown_sql(n_pages: int = 300) -> str:
     ])
 
 
+def dup_components_sql() -> str:
+    """Golden for connected components over the MinHash-LSH pair list:
+    independent union-find over kernel.twins.lsh_pairs_xx (the pure-Python
+    XXH64 pipeline twin), component = min doc id."""
+    from .kernel.twins import lsh_pairs_xx
+
+    pairs = lsh_pairs_xx(_oracle_documents())
+    parent: dict = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    nodes = sorted({n for p in pairs for n in p})
+    rows = [(n, find(n)) for n in nodes]
+    return values_sql(rows, [("doc_id", "BIGINT"), ("component", "BIGINT")])
+
+
 def chunk_knn_sql(n_pages: int = 300, k: int = 3, n_queries: int = 3) -> str:
     """Golden for chunk-level similarity end-to-end: pages → extract →
     chunk → hashed embedding (L2-normalized float32, chunk.py:45 slot) →

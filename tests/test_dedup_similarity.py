@@ -244,3 +244,30 @@ def test_ivf_disk_index_partition_pruning(spark, vecs_df, tmp_path):
         vecs_df, queries, dim=16, k=3, n_lists=5, n_probe=2).collect()))
     via_disk = sorted(map(tuple, out.collect()))
     assert via_disk == direct
+
+
+def test_keep_canonical_drops_non_min_members(spark):
+    """dedup_keep_canonical keeps exactly one doc per component (min id)
+    plus all unpaired docs."""
+    from rag_pdf_parser_spark.operators.dedup import dedup_keep_canonical
+
+    docs = spark.createDataFrame(
+        [(i, f"t{i}") for i in range(10)], "doc_id long, text string")
+    pairs = spark.createDataFrame(
+        [(1, 3), (3, 5), (7, 8)], "id_a long, id_b long")
+    kept = sorted(r["doc_id"] for r in dedup_keep_canonical(docs, pairs).collect())
+    # component {1,3,5} -> keep 1; {7,8} -> keep 7; others unpaired
+    assert kept == [0, 1, 2, 4, 6, 7, 9], kept
+
+
+def test_connected_components_chain_converges(spark):
+    """A 12-node chain needs multiple propagation rounds — exercises the
+    convergence loop beyond diameter-1 graphs."""
+    from rag_pdf_parser_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(11)] + [(20, 21)],
+        "id_a long, id_b long")
+    comp = {r["id"]: r["comp"] for r in connected_components(pairs).collect()}
+    assert all(comp[i] == 0 for i in range(12)), comp
+    assert comp[20] == comp[21] == 20, comp
