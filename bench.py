@@ -156,6 +156,21 @@ def run_bench() -> dict:
           lambda: brute_force_topk(
               emb_docs, emb_docs.where(F.col("vec_id") < 5), k=5).count())
 
+    # round-3 operators
+    from rag_pdf_parser_spark.functions import gopher_features_expr
+    from rag_pdf_parser_spark.operators.dedup import dedup_lines_corpus
+
+    gf = gopher_features_expr(F.col("text"))
+    timed("webtext_quality",
+          lambda: docs_t.select(
+              *[c.alias(k) for k, c in gf.items()])
+          .agg(F.sum(F.col("gopher_keep").cast("int")),
+               F.sum("n_words")).collect())
+    timed("corpus_line_dedup",
+          lambda: dedup_lines_corpus(
+              docs_t.select("doc_id", "text"), id_col="doc_id")
+          .agg(F.sum("n_lines_dropped")).collect())
+
     pages.unpersist()
     raw_pages.unpersist()
     spark.stop()

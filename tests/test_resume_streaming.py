@@ -418,3 +418,35 @@ def test_media_scan_and_blob_sink(spark, tmp_path, pages_df):
     feats = image_features(media)
     assert feats.count() == n
     assert feats.where(F.length("phash") == 16).count() == n
+
+
+def test_streaming_extraction_matches_batch(spark, tmp_path):
+    """The north-star pipeline as a checkpointed stream: page files →
+    micro-batch extraction → parquet sink. Byte identity per url with the
+    batch path (and transitively with the pure-Python kernel goldens)."""
+    from rag_pdf_parser_spark.operators.extract import extract_docs
+    from rag_pdf_parser_spark.sources.pages import synth_pages
+    from rag_pdf_parser_spark.streaming.pages import run_extraction_stream
+
+    src = str(tmp_path / "pages_in")
+    out = str(tmp_path / "docs_out")
+    ckpt = str(tmp_path / "ckpt")
+    pages = synth_pages(spark, 120)
+    # several files → several micro-batches at maxFilesPerTrigger=8
+    pages.repartition(12).write.parquet(src)
+
+    run_extraction_stream(spark, src, out, ckpt)
+    got = {r["url"]: (r["doc_id"], r["extracted_text"])
+           for r in spark.read.parquet(out).collect()}
+    exp = {r["url"]: (r["doc_id"], r["extracted_text"])
+           for r in extract_docs(pages).collect()}
+    assert got == exp
+
+    # resume: append new files, rerun — only the new urls are added, old
+    # rows are not reprocessed (exactly-once via checkpoint)
+    more = synth_pages(spark, 150).where(~F.col("url").isin(list(got)))
+    more.repartition(3).write.mode("append").parquet(src)
+    run_extraction_stream(spark, src, out, ckpt)
+    after = spark.read.parquet(out)
+    assert after.count() == 150
+    assert after.select("url").distinct().count() == 150
