@@ -31,6 +31,7 @@ from rag_pdf_parser_spark.functions import (
     anchor_expr,
     content_hash_expr,
     fingerprint_expr,
+    gopher_features_expr,
     lang_expr,
     normalized_text_expr,
     normalized_text_hash_expr,
@@ -99,11 +100,15 @@ def entry(spark: SparkSession) -> DataFrame:
         F.aggregate(
             "chunks", long0, lambda acc, c: acc + c["token_count"].cast("long")
         ).alias("total_tokens"),
+        # the Gopher/C4 pre-training quality gate rides the same projection
+        # (pure expressions — free next to the Arrow stage)
+        gopher_features_expr(F.col("extracted_text"))["gopher_keep"]
+        .alias("gopher_keep"),
     )
     return per_doc.join(F.broadcast(lang_stats), "doc_lang", "left").select(
         "url", "doc_id", "n_pages", "failure_code", "title", "doc_lang",
         "total_blocks", "total_text_chars", "n_chunks", "total_tokens",
-        "corpus_avg_tokens",
+        "corpus_avg_tokens", "gopher_keep",
     )
 
 
