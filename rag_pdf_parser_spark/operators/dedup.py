@@ -117,6 +117,28 @@ def minhash_signature(df: DataFrame, text_col: str = "text", n: int = 5,
     return sh.groupBy(*id_cols).agg(*aggs)
 
 
+def lsh_buckets(df: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text", n: int = 5, num_perm: int = 8,
+                bands: int = 4, flavor: str = "xx") -> DataFrame:
+    """(id, band, bucket) rows — one per band per doc; the shared candidate
+    index for batch pair generation (`lsh_candidate_pairs`) and the
+    streaming seen-store (`streaming.minhash`)."""
+    rows = num_perm // bands
+    sig = minhash_signature(df.select(id_col, text_col), text_col, n,
+                            num_perm, flavor)
+    band_cols = []
+    for b in range(bands):
+        cols = [F.col(f"mh{j}").cast("string")
+                for j in range(b * rows, (b + 1) * rows)]
+        band_cols.append(
+            F.struct(F.lit(b).alias("band"),
+                     F.sha2(F.concat_ws("|", *cols), 256).alias("bucket"))
+        )
+    return sig.select(
+        F.col(id_col).alias("id"), F.explode(F.array(*band_cols)).alias("bk")
+    ).select("id", "bk.band", "bk.bucket")
+
+
 def lsh_candidate_pairs(df: DataFrame, id_col: str = "doc_id",
                         text_col: str = "text", n: int = 5, num_perm: int = 8,
                         bands: int = 4, flavor: str = "xx",
@@ -132,19 +154,7 @@ def lsh_candidate_pairs(df: DataFrame, id_col: str = "doc_id",
     lane catches them; this is the standard guard in large-scale MinHash
     dedup pipelines). None = uncapped (exact semantics, the oracle-checked
     configuration)."""
-    rows = num_perm // bands
-    sig = minhash_signature(df.select(id_col, text_col), text_col, n,
-                            num_perm, flavor)
-    band_cols = []
-    for b in range(bands):
-        cols = [F.col(f"mh{j}").cast("string") for j in range(b * rows, (b + 1) * rows)]
-        band_cols.append(
-            F.struct(F.lit(b).alias("band"),
-                     F.sha2(F.concat_ws("|", *cols), 256).alias("bucket"))
-        )
-    buckets = sig.select(
-        F.col(id_col).alias("id"), F.explode(F.array(*band_cols)).alias("bk")
-    ).select("id", "bk.band", "bk.bucket")
+    buckets = lsh_buckets(df, id_col, text_col, n, num_perm, bands, flavor)
     if max_bucket is not None:
         sizes = buckets.groupBy("band", "bucket").agg(
             F.count("*").alias("__bsz"))

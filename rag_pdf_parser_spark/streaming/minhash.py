@@ -1,0 +1,84 @@
+"""Streaming near-dup gate: incoming documents are checked against a
+PERSISTED MinHash-LSH bucket store and only novel documents pass.
+
+The 10^12-row crawl shape: the seen-store is an append-only (band, bucket)
+parquet table (bucketed/partitioned by bucket hash at real scale); each
+micro-batch
+
+1. computes band buckets for its documents (`operators.dedup.lsh_buckets` —
+   the same index the batch pair-generator uses),
+2. drops any document colliding with the store on ANY band (LSH candidate
+   ⇒ near-duplicate of something already accepted; threshold tuning =
+   bands/rows, exactly as in batch),
+3. also dedups WITHIN the batch (keep the smallest id per bucket chain),
+4. appends the surviving documents' buckets to the store and the documents
+   to the output sink.
+
+foreachBatch gives at-least-once semantics on retry: re-appending a
+surviving doc's buckets is harmless (duplicate (id, band, bucket) rows
+change no join result), and the output sink dedups by id downstream —
+the same idempotence argument as the batch manifest resume.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.dedup import lsh_buckets
+
+
+def novel_against_store(batch: DataFrame, seen: DataFrame | None,
+                        id_col: str = "doc_id",
+                        text_col: str = "text") -> tuple[DataFrame, DataFrame]:
+    """(novel_docs, their_buckets): docs not LSH-colliding with `seen` nor
+    with an earlier (smaller-id) doc in the same batch."""
+    buckets = lsh_buckets(batch, id_col, text_col).persist()
+    hit = buckets.join(seen, ["band", "bucket"], "left_semi") if seen is not None \
+        else buckets.limit(0)
+    dup_ids = hit.select("id").distinct()
+    # within-batch: keep the minimum id of each bucket group
+    first_per_bucket = buckets.groupBy("band", "bucket").agg(
+        F.min("id").alias("keep_id"))
+    batch_dups = (
+        buckets.join(first_per_bucket, ["band", "bucket"])
+        .where(F.col("id") != F.col("keep_id"))
+        .select("id").distinct()
+    )
+    drop = dup_ids.union(batch_dups).distinct()
+    novel = batch.join(drop.withColumnRenamed("id", id_col), id_col,
+                       "left_anti")
+    novel_buckets = buckets.join(drop, "id", "left_anti")
+    return novel, novel_buckets
+
+
+def run_streaming_dedup(spark: SparkSession, src_dir: str, schema,
+                        out_dir: str, seen_dir: str, checkpoint_dir: str,
+                        id_col: str = "doc_id", text_col: str = "text",
+                        max_files_per_trigger: int = 1) -> None:
+    """Drain available document files through the near-dup gate
+    (availableNow), maintaining the bucket store across micro-batches AND
+    across restarts (the store itself is the persistent state — no
+    in-memory streaming state to lose)."""
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(src_dir)
+    )
+
+    def process(batch: DataFrame, _bid: int) -> None:
+        sp = batch.sparkSession
+        seen = sp.read.parquet(seen_dir) if os.path.exists(seen_dir) else None
+        novel, nb = novel_against_store(batch, seen, id_col, text_col)
+        nb.select("band", "bucket").write.mode("append").parquet(seen_dir)
+        novel.write.mode("append").parquet(out_dir)
+
+    q = (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

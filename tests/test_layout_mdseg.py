@@ -183,3 +183,27 @@ class TestTranslateSlot:
             bilingual_markdown_expr(F.col("md")).alias("b")).collect()[0]["b"]
         # heading passes through untranslated; paragraph gains the quote block
         assert out == "# 데이터\n\n데이터 모델\n\n> *data model*\n"
+
+    def test_bilingual_markdown_random_fuzz(self, spark):
+        """Random markdown-ish documents, batched into ONE DataFrame pass —
+        expression must byte-match the Python twin on every sample."""
+        import random
+
+        from rag_pdf_parser_spark.operators.translate import (
+            bilingual_markdown_expr, bilingual_markdown_py)
+
+        rng = random.Random(11)
+        frags = ["# H", "## Sub", "plain text 데이터", "모델 학습 data",
+                 "| a | b |", "> quoted", "```", "code x", "![i](u)",
+                 "<!-- c -->", "*AI note*", "", "   ", "\ttab lead",
+                 "- bullet", "end.", "line two 处理"]
+        samples = ["\n".join(rng.choice(frags)
+                             for _ in range(rng.randint(0, 25)))
+                   for _ in range(200)]
+        df = spark.createDataFrame(
+            [(i, s) for i, s in enumerate(samples)], "i int, md string")
+        got = {r["i"]: r["b"] for r in df.select(
+            "i", bilingual_markdown_expr(F.col("md")).alias("b")).collect()}
+        bad = [i for i, s in enumerate(samples)
+               if got[i] != bilingual_markdown_py(s)]
+        assert not bad, (bad[:3], samples[bad[0]] if bad else None)

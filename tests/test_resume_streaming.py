@@ -450,3 +450,49 @@ def test_streaming_extraction_matches_batch(spark, tmp_path):
     after = spark.read.parquet(out)
     assert after.count() == 150
     assert after.select("url").distinct().count() == 150
+
+
+def test_streaming_minhash_dedup_gate(spark, tmp_path):
+    """Streaming near-dup gate: docs colliding with the PERSISTED bucket
+    store (or with an earlier doc in the same batch) are dropped; the store
+    carries state across micro-batches AND across restarts."""
+    from rag_pdf_parser_spark.streaming.minhash import run_streaming_dedup
+
+    src = tmp_path / "docs_src"
+    src.mkdir()
+    out = str(tmp_path / "novel")
+    seen = str(tmp_path / "seen")
+    ckpt = str(tmp_path / "ck")
+
+    t1 = "the quick brown fox jumps over the lazy dog again and again"
+    t2 = "spark structured streaming deduplication with a persistent store"
+    t3 = "a completely different third document about engines and pipelines"
+    t5 = "novel content arriving in the second micro batch of the stream"
+    schema = "doc_id long, text string"
+    spark.createDataFrame([(1, t1), (2, t2), (3, t3)], schema) \
+        .coalesce(1).write.parquet(str(src / "f1"))
+    # 4 = near-copy of 1 (cross-batch), 6 = copy of 5 (within-batch)
+    spark.createDataFrame([(4, t1), (5, t5), (6, t5)], schema) \
+        .coalesce(1).write.parquet(str(src / "f2"))
+    import glob
+    import shutil
+    for i, f in enumerate(sorted(glob.glob(str(src / "*" / "*.parquet")))):
+        shutil.copy(f, src / f"part{i}.parquet")
+
+    sch = spark.read.parquet(str(src / "f1")).schema
+    run_streaming_dedup(spark, str(src) + "/part*.parquet", sch, out, seen,
+                        ckpt)
+    kept = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+    assert kept == [1, 2, 3, 5], kept
+
+    # restart with a third file: copy of 2 dropped via the PERSISTED store,
+    # brand-new 7 kept
+    spark.createDataFrame(
+        [(7, "yet another brand new document body with fresh words"),
+         (8, t2)], schema).coalesce(1).write.parquet(str(src / "f3"))
+    for i, f in enumerate(sorted(glob.glob(str(src / "f3" / "*.parquet")))):
+        shutil.copy(f, src / f"part9{i}.parquet")
+    run_streaming_dedup(spark, str(src) + "/part*.parquet", sch, out, seen,
+                        ckpt)
+    kept2 = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+    assert kept2 == [1, 2, 3, 5, 7], kept2
