@@ -483,6 +483,32 @@ def q_user_sessions(spark, sf_dir):
     return user_sessions(_t(spark, sf_dir, "events"))
 
 
+def q_session_range_join(spark, sf_dir):
+    """Binned RANGE JOIN (containment, not as-of): every event matched to
+    the session interval containing it — `range_join_binned` turns the
+    inequality join Spark would plan as BroadcastNestedLoop into bin-bucket
+    equi-joins + exact filter. Each event lands in exactly one session, so
+    the output has one row per event (a strong structural check)."""
+    from rag_pdf_parser_spark.operators.rangejoin import range_join_binned
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp"))
+    sessions = (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_in_session"))
+        .select("user_id", F.col("w.start").alias("s_start"),
+                F.col("w.end").alias("s_end"), "n_in_session")
+    )
+    left = ev.select("event_id", "user_id", "ts")
+    out = range_join_binned(left, sessions, on="user_id", ts="ts",
+                            start="s_start", end="s_end", bin_width_sec=900)
+    return out.select(
+        "event_id", "user_id",
+        F.date_format("s_start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        "n_in_session",
+    )
+
+
 def q_asof_login(spark, sf_dir):
     """As-of join (custom operator, operators/asof.py): every event enriched
     with the most recent login event of the same user at-or-before its
@@ -999,6 +1025,8 @@ _EXTRA_KEYS = (
     # cluster stage over the same pairs minhash_lsh_xx already checks —
     # pytest-extras slot (driver registry is at the 50-row cap)
     "dup_components",
+    # containment-join variant of the asof/session family — extras slot
+    "session_range_join",
     # per-block interleave superseded in the driver set by the
     # paragraph-aware whole-document form (bilingual_markdown)
     "bilingual_interleave",
@@ -1020,6 +1048,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "webtext_quality": q_webtext_quality,
         "corpus_line_dedup": q_corpus_line_dedup,
         "dup_components": q_dup_components,
+        "session_range_join": q_session_range_join,
         # oracle-checked scalar/agg/window/join operators
         "lang_detect": q_lang_detect,
         "token_estimate": q_token_estimate,
@@ -1669,6 +1698,30 @@ def _oracle_sql_all() -> dict[str, str]:
                    user_id, count(*) AS n_events,
                    CAST(round(sum(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE) AS sum_value
             FROM s GROUP BY user_id, sid
+        """,
+        "session_range_join": """
+            WITH o AS (
+              SELECT user_id, ts, event_id,
+                     CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                               < INTERVAL 30 MINUTE
+                          THEN 0 ELSE 1 END AS brk
+              FROM events
+            ), s AS (
+              SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                       ROWS UNBOUNDED PRECEDING) AS sid
+              FROM o
+            ), sess AS (
+              SELECT user_id, sid, min(ts) AS s_start,
+                     max(ts) + INTERVAL 30 MINUTE AS s_end,
+                     count(*) AS n_in_session
+              FROM s GROUP BY user_id, sid
+            )
+            SELECT e.event_id, e.user_id,
+                   strftime(x.s_start, '%Y-%m-%d %H:%M:%S') AS session_start,
+                   CAST(x.n_in_session AS BIGINT) AS n_in_session
+            FROM events e
+            JOIN sess x ON e.user_id = x.user_id
+                       AND e.ts >= x.s_start AND e.ts < x.s_end
         """,
         "asof_login": """
             WITH logins AS (

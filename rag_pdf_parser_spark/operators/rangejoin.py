@@ -1,0 +1,53 @@
+"""Range (interval) join — another join shape Spark's planner handles badly
+by default: `L.ts BETWEEN R.start AND R.end` with only inequality
+conditions becomes BroadcastNestedLoopJoin (O(|L|·|R|) per key group).
+
+Binned formulation (the standard fix, cf. Databricks' range-join hints /
+interval trees in batch systems): pick a bin width, explode each interval
+into the bins it covers, tag each left row with its single bin, equi-join
+on (key, bin), then apply the exact predicate. Each (row, interval) match
+is found in EXACTLY the row's bin — no post-join dedup needed.
+
+Cost: shuffle ∝ |L| + |R|·(avg interval span / bin width), all hash joins;
+pick `bin_width` near the median interval length so the explosion factor
+stays O(1). Skew on a hot key is bounded by bins (time spreads it).
+Reference has no temporal joins; this extends the as-of family
+(operators/asof.py) to containment semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def range_join_binned(left: DataFrame, right: DataFrame, on: str,
+                      ts: str, start: str, end: str,
+                      bin_width_sec: int = 900,
+                      how: str = "inner") -> DataFrame:
+    """left rows matched to right intervals with
+    ``right.start <= left.ts < right.end``, same key `on`.
+
+    `how='left'` keeps unmatched left rows (interval columns null).
+    Timestamps may be TIMESTAMP or numeric epoch; binning uses epoch
+    seconds.
+    """
+    sec = lambda c: F.unix_timestamp(F.col(c))  # noqa: E731
+    l_bin = F.floor(sec(ts) / bin_width_sec)
+    r_lo = F.floor(sec(start) / bin_width_sec)
+    r_hi = F.floor((sec(end) - F.lit(1)) / bin_width_sec)  # end exclusive
+    l_tag = left.withColumn("__bin", l_bin)
+    r_tag = right.withColumn(
+        "__bin", F.explode(F.sequence(r_lo, F.greatest(r_hi, r_lo)))
+    )
+    joined = l_tag.alias("l").join(
+        r_tag.alias("r"),
+        (F.col(f"l.{on}") == F.col(f"r.{on}"))
+        & (F.col("l.__bin") == F.col("r.__bin"))
+        & (F.unix_timestamp(F.col(f"r.{start}")) <= F.unix_timestamp(F.col(f"l.{ts}")))
+        & (F.unix_timestamp(F.col(f"l.{ts}")) < F.unix_timestamp(F.col(f"r.{end}"))),
+        how,
+    )
+    out_cols = [F.col(f"l.{c}") for c in left.columns]
+    out_cols += [F.col(f"r.{c}").alias(c) for c in right.columns if c != on]
+    return joined.select(*out_cols)

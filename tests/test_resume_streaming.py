@@ -496,3 +496,55 @@ def test_streaming_minhash_dedup_gate(spark, tmp_path):
                         ckpt)
     kept2 = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
     assert kept2 == [1, 2, 3, 5, 7], kept2
+
+
+class TestRangeJoin:
+    def _frames(self, spark):
+        left = spark.createDataFrame(
+            [(1, "a", "2024-01-01 10:00:00"), (2, "a", "2024-01-01 11:30:00"),
+             (3, "a", "2024-01-01 23:00:00"), (4, "b", "2024-01-01 10:30:00")],
+            "event_id long, k string, ts string").withColumn(
+            "ts", F.col("ts").cast("timestamp"))
+        right = spark.createDataFrame(
+            [("a", "2024-01-01 09:00:00", "2024-01-01 12:00:00", 10),
+             ("a", "2024-01-01 12:00:00", "2024-01-01 13:00:00", 20),
+             ("b", "2024-01-01 00:00:00", "2024-01-02 00:00:00", 30)],
+            "k string, s string, e string, tag int").select(
+            "k", F.col("s").cast("timestamp").alias("s"),
+            F.col("e").cast("timestamp").alias("e"), "tag")
+        return left, right
+
+    def test_containment_semantics(self, spark):
+        from rag_pdf_parser_spark.operators.rangejoin import range_join_binned
+
+        left, right = self._frames(spark)
+        got = {r["event_id"]: r["tag"]
+               for r in range_join_binned(left, right, on="k", ts="ts",
+                                          start="s", end="e",
+                                          bin_width_sec=3600).collect()}
+        # event 3 (23:00, key a) matches no interval → absent on inner join
+        assert got == {1: 10, 2: 10, 4: 30}, got
+
+    def test_left_join_keeps_unmatched(self, spark):
+        from rag_pdf_parser_spark.operators.rangejoin import range_join_binned
+
+        left, right = self._frames(spark)
+        got = {r["event_id"]: r["tag"]
+               for r in range_join_binned(left, right, on="k", ts="ts",
+                                          start="s", end="e",
+                                          bin_width_sec=3600,
+                                          how="left").collect()}
+        assert got == {1: 10, 2: 10, 3: None, 4: 30}, got
+
+    def test_no_nested_loop_join(self, spark):
+        """The whole point: the binned formulation must plan as hash/merge
+        equi-joins, never BroadcastNestedLoopJoin."""
+        from rag_pdf_parser_spark.operators.rangejoin import range_join_binned
+
+        left, right = self._frames(spark)
+        plan = range_join_binned(left, right, on="k", ts="ts", start="s",
+                                 end="e")._jdf \
+            .queryExecution().executedPlan().toString()
+        assert "BroadcastNestedLoopJoin" not in plan, plan
+        assert ("SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+                or "BroadcastHashJoin" in plan), plan
