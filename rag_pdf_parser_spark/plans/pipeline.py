@@ -62,14 +62,24 @@ class ExtractionPipeline:
 
     # -- run --------------------------------------------------------------------
     def run(self, pages: DataFrame, run_id: str = "run0",
-            with_chunks: bool = True, fmt: str = "parquet") -> dict:
+            with_chunks: bool = True, fmt: str = "parquet",
+            dedupe: bool = False) -> dict:
         """`fmt='json'` mirrors the reference's JSONL sinks (K2/K3,
         writer.py:110-165) — same rows, line-delimited; parquet is the
-        scale default (columnar, prunable)."""
-        return self._run(pages, run_id, with_chunks, fmt)
+        scale default (columnar, prunable).
+
+        `dedupe=True` wires in the reference's dedup gate (F7/J2,
+        main.py:43-46): documents whose normalized-text hash was already
+        registered (previous runs, via the persistent `seen_hashes` table)
+        or already produced by a lexicographically-smaller url in THIS run
+        are NOT written to the content sinks — but they ARE recorded in
+        the manifest with failure_code='DUPLICATE', so resume never
+        re-extracts them (exactly the reference's skip-if-seen +
+        mark-status flow)."""
+        return self._run(pages, run_id, with_chunks, fmt, dedupe)
 
     def _run(self, pages: DataFrame, run_id: str,
-             with_chunks: bool, fmt: str) -> dict:
+             with_chunks: bool, fmt: str, dedupe: bool = False) -> dict:
         todo = self.pending(pages)
         # fused extract+chunk: one Arrow stage, no chunking shuffle
         docs = extract_docs_full(todo, self.partitions)
@@ -78,17 +88,28 @@ class ExtractionPipeline:
         # AFTER the salted repartition inside extract_docs_full, so each row
         # records the partition that actually did the work.
         docs_m = docs.withColumn("partition_id", F.spark_partition_id())
-        docs_m.cache()
+        if dedupe:
+            docs_m = self._mark_duplicates(docs_m, run_id)
+        else:
+            docs_m = docs_m.withColumn("__dup", F.lit(False))
+        # localCheckpoint, NOT cache: the plan reads the manifest (resume
+        # anti-join) and the seen_hashes store (dedup gate) — appending to
+        # either path below refreshes it and INVALIDATES a cache built on
+        # it, silently recomputing docs_m against the post-write state
+        # (todo becomes empty, dup flags flip). Checkpointing materializes
+        # the batch immutably before any sink write.
+        docs_m = docs_m.localCheckpoint(eager=True)
         n_docs = docs_m.count()
+        fresh = docs_m.where(~F.col("__dup")).drop("__dup")
 
-        (docs_m.drop("blocks", "chunks")
+        (fresh.drop("blocks", "chunks")
          .write.mode("append").format(fmt).save(self.docs_path))
 
-        blocks = explode_blocks(docs_m.drop("chunks"))
+        blocks = explode_blocks(fresh.drop("chunks"))
         blocks.write.mode("append").format(fmt).save(self.blocks_path)
 
         if with_chunks:
-            (explode_chunks(docs_m)
+            (explode_chunks(fresh)
              .write.mode("append").format(fmt).save(self.chunks_path))
 
         manifest = docs_m.select(
@@ -97,11 +118,56 @@ class ExtractionPipeline:
             F.col("url"),
             F.col("bytes_in"),
             F.length(F.coalesce("extracted_text", F.lit(""))).cast("long").alias("bytes_out"),
-            F.col("failure_code"),
+            F.when(F.col("__dup"),
+                   F.coalesce("failure_code", F.lit("DUPLICATE")))
+            .otherwise(F.col("failure_code")).alias("failure_code"),
         )
         manifest.write.mode("append").parquet(self.manifest_path)
-        docs_m.unpersist()
-        return {"run_id": run_id, "docs_processed": n_docs}
+        if dedupe:
+            from ..functions import normalized_text_hash_expr
+            from ..operators.dedup import register_hashes
+
+            register_hashes(
+                self.seen_path,
+                docs_m.where(~F.col("__dup")).select(
+                    normalized_text_hash_expr(
+                        F.coalesce("extracted_text", F.lit(""))).alias("hash"),
+                    F.lit("normalized_text").alias("kind"),
+                    F.lit(run_id).alias("source"),
+                ),
+            )
+        n_dups = docs_m.where(F.col("__dup")).count() if dedupe else 0
+        return {"run_id": run_id, "docs_processed": n_docs,
+                "duplicates_skipped": n_dups}
+
+    @property
+    def seen_path(self) -> str:
+        return os.path.join(self.out_dir, "seen_hashes")
+
+    def _mark_duplicates(self, docs_m: DataFrame, run_id: str) -> DataFrame:
+        """Add `__dup`: true when the doc's normalized-text hash is in the
+        persistent seen store OR a smaller url in this batch owns the hash."""
+        from ..functions import normalized_text_hash_expr
+
+        h = normalized_text_hash_expr(F.coalesce("extracted_text", F.lit("")))
+        hashed = docs_m.withColumn("__h", h)
+        winners = hashed.groupBy("__h").agg(F.min("url").alias("__wurl"))
+        hashed = hashed.join(winners, "__h")
+        if os.path.exists(self.seen_path):
+            seen = (
+                self.spark.read.parquet(self.seen_path)
+                .where(F.col("kind") == "normalized_text")
+                .select(F.col("hash").alias("__h"),
+                        F.lit(True).alias("__seen")).distinct()
+            )
+            hashed = hashed.join(seen, "__h", "left")
+        else:
+            hashed = hashed.withColumn("__seen", F.lit(None).cast("boolean"))
+        return hashed.withColumn(
+            "__dup",
+            F.coalesce("__seen", F.lit(False))
+            | (F.col("url") != F.col("__wurl")),
+        ).drop("__h", "__wurl", "__seen")
 
     # -- lineage metrics --------------------------------------------------------
     def manifest_summary(self) -> DataFrame:

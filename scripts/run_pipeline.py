@@ -32,6 +32,8 @@ def main() -> None:
     ap.add_argument("--run-id", default=f"run_{int(time.time())}")
     ap.add_argument("--format", default="parquet", choices=["parquet", "json"])
     ap.add_argument("--no-chunks", action="store_true")
+    ap.add_argument("--dedupe", action="store_true",
+                    help="content-dedup gate vs the persistent seen_hashes store")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -55,7 +57,7 @@ def main() -> None:
     pipe = ExtractionPipeline(spark, args.out)
     t0 = time.time()
     result = pipe.run(pages, run_id=args.run_id,
-                      with_chunks=not args.no_chunks, fmt=args.format)
+                      with_chunks=not args.no_chunks, fmt=args.format, dedupe=args.dedupe)
     result["wall_sec"] = round(time.time() - t0, 2)
     summary = pipe.manifest_summary().collect()
     result["partitions"] = len([r for r in summary if r["run_id"] == args.run_id])

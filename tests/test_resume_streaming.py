@@ -548,3 +548,49 @@ class TestRangeJoin:
         assert "BroadcastNestedLoopJoin" not in plan, plan
         assert ("SortMergeJoin" in plan or "ShuffledHashJoin" in plan
                 or "BroadcastHashJoin" in plan), plan
+
+
+def test_pipeline_dedupe_gate(spark, tmp_path):
+    """dedupe=True: within-run content duplicates and cross-run duplicates
+    (via the persistent seen_hashes store) are skipped from the content
+    sinks but recorded in the manifest as DUPLICATE — resume never
+    re-extracts them."""
+    import pandas as pd
+
+    from rag_pdf_parser_spark.schema import PAGES_SCHEMA
+
+    body = b"<html><body><p>identical content body for the dedup gate test</p></body></html>"
+    other = b"<html><body><p>a different second page body entirely</p></body></html>"
+    rows1 = [(f"https://a.example/{i}", None, body if i < 3 else other, "", "en")
+             for i in range(5)]
+    pages1 = spark.createDataFrame(
+        pd.DataFrame(rows1, columns=["url", "warc_ts", "html", "text", "lang"]),
+        schema=PAGES_SCHEMA)
+
+    out = str(tmp_path / "dd")
+    from rag_pdf_parser_spark.plans.pipeline import ExtractionPipeline
+    p = ExtractionPipeline(spark, out, partitions=4)
+    r1 = p.run(pages1, run_id="r1", with_chunks=False, dedupe=True)
+    # 3 copies of `body` → 1 kept; 2 copies of `other` → 1 kept
+    assert r1["docs_processed"] == 5 and r1["duplicates_skipped"] == 3, r1
+    docs = spark.read.parquet(p.docs_path)
+    assert docs.count() == 2
+    m = spark.read.parquet(p.manifest_path)
+    assert m.where(F.col("failure_code") == "DUPLICATE").count() == 3
+
+    # cross-run: a NEW url with previously-seen content is dropped via the
+    # persistent store; a genuinely new page passes
+    rows2 = [("https://b.example/new-dup", None, body, "", "en"),
+             ("https://b.example/fresh", None,
+              b"<html><body><p>never seen before content here</p></body></html>",
+              "", "en")]
+    pages2 = spark.createDataFrame(
+        pd.DataFrame(rows2, columns=["url", "warc_ts", "html", "text", "lang"]),
+        schema=PAGES_SCHEMA)
+    r2 = p.run(pages1.union(pages2), run_id="r2", with_chunks=False,
+               dedupe=True)
+    assert r2["docs_processed"] == 2 and r2["duplicates_skipped"] == 1, r2
+    assert spark.read.parquet(p.docs_path).count() == 3
+    # all 7 urls in the manifest exactly once → nothing re-extracts
+    m2 = spark.read.parquet(p.manifest_path)
+    assert m2.count() == 7 and m2.select("url").distinct().count() == 7
