@@ -914,6 +914,34 @@ def q_corpus_line_dedup(spark, sf_dir):
     )
 
 
+def q_pii_scrub(spark, sf_dir):
+    """PII scrubbing (training-data pipeline op): emails → <EMAIL>, phone
+    runs → <PHONE>, IPv4 → <IP>, with per-kind counts. The corpus text
+    carries no PII, so a deterministic PII suffix is synthesized from
+    doc_id IDENTICALLY in both engines — the oracle is a fully independent
+    DuckDB twin over the same construction (RE2-safe patterns run verbatim
+    in both regex engines)."""
+    from rag_pdf_parser_spark.functions import pii_scrub_expr
+
+    d = _t(spark, sf_dir, "documents")
+    synth = F.concat(
+        F.col("text"),
+        F.format_string(
+            " contact doc%d@example.com or +1 (555) 010-%04d at 10.0.%d.%d",
+            F.col("doc_id"), F.pmod(F.col("doc_id"), F.lit(10000)),
+            F.pmod(F.col("doc_id"), F.lit(256)),
+            F.pmod(F.col("doc_id") * 7, F.lit(256))),
+    )
+    p = pii_scrub_expr(synth)
+    return d.select(
+        "doc_id",
+        F.md5(F.encode(p["scrubbed"], "utf-8")).alias("scrub_md5"),
+        p["n_emails"].alias("n_emails"),
+        p["n_phones"].alias("n_phones"),
+        p["n_ips"].alias("n_ips"),
+    )
+
+
 def q_webtext_quality(spark, sf_dir):
     """Gopher/C4 pre-training quality gate (Rae et al. 2021 §A1.1; Raffel
     et al. 2020) over the documents table: word-count / mean-word-length
@@ -1027,6 +1055,8 @@ _EXTRA_KEYS = (
     "dup_components",
     # containment-join variant of the asof/session family — extras slot
     "session_range_join",
+    # PII scrubbing over synthesized suffixes — extras slot
+    "pii_scrub",
     # per-block interleave superseded in the driver set by the
     # paragraph-aware whole-document form (bilingual_markdown)
     "bilingual_interleave",
@@ -1049,6 +1079,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_line_dedup": q_corpus_line_dedup,
         "dup_components": q_dup_components,
         "session_range_join": q_session_range_join,
+        "pii_scrub": q_pii_scrub,
         # oracle-checked scalar/agg/window/join operators
         "lang_detect": q_lang_detect,
         "token_estimate": q_token_estimate,
@@ -1698,6 +1729,31 @@ def _oracle_sql_all() -> dict[str, str]:
                    user_id, count(*) AS n_events,
                    CAST(round(sum(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE) AS sum_value
             FROM s GROUP BY user_id, sid
+        """,
+        "pii_scrub": """
+            WITH synth AS (
+              SELECT doc_id,
+                     text || printf(' contact doc%d@example.com or +1 (555) 010-%04d at 10.0.%d.%d',
+                                    doc_id, doc_id % 10000, doc_id % 256,
+                                    (doc_id * 7) % 256) AS t
+              FROM documents
+            ), s1 AS (
+              SELECT doc_id, t,
+                     regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                                    '<EMAIL>', 'g') AS t1
+              FROM synth
+            ), s2 AS (
+              SELECT doc_id, t, t1,
+                     regexp_replace(t1, '\\+?[0-9][0-9 ()\\-]{7,}[0-9]', '<PHONE>', 'g') AS t2
+              FROM s1
+            )
+            SELECT doc_id,
+                   md5(regexp_replace(t2, '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b',
+                                      '<IP>', 'g')) AS scrub_md5,
+                   len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))::INT AS n_emails,
+                   len(regexp_extract_all(t1, '\\+?[0-9][0-9 ()\\-]{7,}[0-9]'))::INT AS n_phones,
+                   len(regexp_extract_all(t2, '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b'))::INT AS n_ips
+            FROM s2
         """,
         "session_range_join": """
             WITH o AS (

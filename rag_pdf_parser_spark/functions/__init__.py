@@ -380,3 +380,29 @@ def line_features_expr(text: Column) -> dict[str, Column]:
         "frac_lines_term_punct": F.round(
             frac(lambda l: l.rlike('[.!?"]\\s*$')), 6),
     }
+
+
+#: PII patterns (training-data scrubbing): RE2-safe (no lookaround), so the
+#: same pattern strings run verbatim in Spark (Java regex) and the DuckDB
+#: twin (RE2).
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE = r"\+?[0-9][0-9 ()\-]{7,}[0-9]"
+PII_IPV4 = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+
+
+def pii_scrub_expr(text: Column) -> dict[str, Column]:
+    """PII scrubbing for pre-training corpora: redact emails, phone-like
+    number runs, and IPv4 literals with typed placeholder tokens; report
+    per-kind redaction counts. Order matters (emails first — a phone regex
+    must not eat digits inside an already-redacted span); counts are
+    measured on the ORIGINAL text per kind-in-sequence, matching the
+    replacement order."""
+    after_email = F.regexp_replace(text, PII_EMAIL, "<EMAIL>")
+    after_phone = F.regexp_replace(after_email, PII_PHONE, "<PHONE>")
+    scrubbed = F.regexp_replace(after_phone, PII_IPV4, "<IP>")
+    return {
+        "scrubbed": scrubbed,
+        "n_emails": F.regexp_count(text, F.lit(PII_EMAIL)),
+        "n_phones": F.regexp_count(after_email, F.lit(PII_PHONE)),
+        "n_ips": F.regexp_count(after_phone, F.lit(PII_IPV4)),
+    }
