@@ -34,8 +34,13 @@ def novel_against_store(batch: DataFrame, seen: DataFrame | None,
                         id_col: str = "doc_id",
                         text_col: str = "text") -> tuple[DataFrame, DataFrame]:
     """(novel_docs, their_buckets): docs not LSH-colliding with `seen` nor
-    with an earlier (smaller-id) doc in the same batch."""
-    buckets = lsh_buckets(batch, id_col, text_col).persist()
+    with an earlier (smaller-id) doc in the same batch.
+
+    The bucket table is localCheckpoint'ed (not cached): it is read by both
+    returned frames AND the caller appends to the store the seen-join
+    reads — the same invalidation hazard as plans/pipeline.py; a checkpoint
+    is immune and leaves nothing to unpersist per micro-batch."""
+    buckets = lsh_buckets(batch, id_col, text_col).localCheckpoint(eager=True)
     hit = buckets.join(seen, ["band", "bucket"], "left_semi") if seen is not None \
         else buckets.limit(0)
     dup_ids = hit.select("id").distinct()
@@ -51,7 +56,11 @@ def novel_against_store(batch: DataFrame, seen: DataFrame | None,
     novel = batch.join(drop.withColumnRenamed("id", id_col), id_col,
                        "left_anti")
     novel_buckets = buckets.join(drop, "id", "left_anti")
-    return novel, novel_buckets
+    # materialize BOTH results before the caller writes: their plans read
+    # the seen store the caller is about to append to (and novel_buckets
+    # would otherwise be appended into a path its own plan reads)
+    return (novel.localCheckpoint(eager=True),
+            novel_buckets.localCheckpoint(eager=True))
 
 
 def run_streaming_dedup(spark: SparkSession, src_dir: str, schema,
