@@ -914,6 +914,25 @@ def q_corpus_line_dedup(spark, sf_dir):
     )
 
 
+def q_decontaminate(spark, sf_dir):
+    """Eval-set decontamination (training-data hygiene): documents
+    containing any benchmark token-13-gram are flagged. The benchmark set
+    is derived deterministically in BOTH engines (first 13-gram of every
+    50th doc), so the oracle is a fully independent DuckDB twin."""
+    from rag_pdf_parser_spark.operators.dedup import (decontaminate_flags,
+                                                      token_ngrams_expr)
+
+    d = _t(spark, sf_dir, "documents")
+    bench = (
+        d.where(F.col("doc_id") % 50 == 0)
+        .select(F.try_element_at(token_ngrams_expr(F.col("text")),
+                                 F.lit(1)).alias("gram"))
+        .where(F.col("gram").isNotNull())
+    )
+    out = decontaminate_flags(d, bench)
+    return out.select("doc_id", "n_hits", "contaminated")
+
+
 def q_pii_scrub(spark, sf_dir):
     """PII scrubbing (training-data pipeline op): emails → <EMAIL>, phone
     runs → <PHONE>, IPv4 → <IP>, with per-kind counts. The corpus text
@@ -1057,6 +1076,8 @@ _EXTRA_KEYS = (
     "session_range_join",
     # PII scrubbing over synthesized suffixes — extras slot
     "pii_scrub",
+    # eval-set decontamination — extras slot
+    "decontaminate",
     # per-block interleave superseded in the driver set by the
     # paragraph-aware whole-document form (bilingual_markdown)
     "bilingual_interleave",
@@ -1080,6 +1101,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_components": q_dup_components,
         "session_range_join": q_session_range_join,
         "pii_scrub": q_pii_scrub,
+        "decontaminate": q_decontaminate,
         # oracle-checked scalar/agg/window/join operators
         "lang_detect": q_lang_detect,
         "token_estimate": q_token_estimate,
@@ -1729,6 +1751,32 @@ def _oracle_sql_all() -> dict[str, str]:
                    user_id, count(*) AS n_events,
                    CAST(round(sum(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE) AS sum_value
             FROM s GROUP BY user_id, sid
+        """,
+        "decontaminate": f"""
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split({_NORM}, ' '),
+                                 t -> length(t) > 0) AS tk
+              FROM documents
+            ), g AS (
+              SELECT doc_id,
+                     CASE WHEN len(tk) >= 13
+                          THEN list_transform(range(1, len(tk) - 11),
+                                 i -> array_to_string(tk[i:i+12], ' '))
+                          ELSE [] END AS grams
+              FROM toks
+            ), bench AS (
+              SELECT DISTINCT grams[1] AS gram
+              FROM g WHERE doc_id % 50 = 0 AND len(grams) > 0
+            ), hits AS (
+              SELECT g.doc_id, count(*) AS n_hits
+              FROM g, unnest(g.grams) AS u(gram)
+              JOIN bench ON u.gram = bench.gram
+              GROUP BY g.doc_id
+            )
+            SELECT d.doc_id, COALESCE(h.n_hits, 0)::INT AS n_hits,
+                   COALESCE(h.n_hits, 0) > 0 AS contaminated
+            FROM documents d LEFT JOIN hits h USING (doc_id)
         """,
         "pii_scrub": """
             WITH synth AS (

@@ -396,3 +396,56 @@ def dedup_keep_canonical(docs: DataFrame, pairs: DataFrame,
     drop = comp.where(F.col("id") != F.col("comp")).select(
         F.col("id").alias(id_col))
     return docs.join(drop, id_col, "left_anti")
+
+
+def token_ngrams_expr(text, n: int = 13):
+    """Array of token n-grams of the normalized text, built by FOLDING
+    zip_with over n-1 shifted slices — every reference to the token array
+    is top-level (constant count, O(tokens) each); building grams with
+    `transform(sequence, i -> slice(toks, i, n))`-style indexing instead
+    re-evaluates the derived array per element (the HOF O(n²) trap, see
+    functions.gopher_features_expr)."""
+    from ..functions import normalized_text_expr
+
+    toks = F.filter(F.split(normalized_text_expr(text), " "),
+                    lambda t: F.length(t) > 0)
+    m = F.size(toks)
+    cur = toks
+    for s in range(1, n):
+        shifted = F.slice(toks, s + 1, F.greatest(m - s, F.lit(0)))
+        cur = F.filter(
+            F.zip_with(cur, shifted,
+                       lambda a, b: F.when(b.isNotNull(),
+                                           F.concat(a, F.lit(" "), b))),
+            lambda x: x.isNotNull(),
+        )
+    return cur
+
+
+def decontaminate_flags(docs: DataFrame, benchmark_grams: DataFrame,
+                        id_col: str = "doc_id", text_col: str = "text",
+                        n: int = 13) -> DataFrame:
+    """Eval-set DECONTAMINATION (the training-data hygiene op: drop
+    documents that contain any n-gram from the benchmark/eval corpus —
+    cf. GPT-3 §C / PaLM app. training-set filtering): per-doc token
+    n-grams joined against the benchmark gram set; returns docs +
+    n_hits + contaminated flag.
+
+    `benchmark_grams` must have a `gram` string column (small — broadcast).
+    Scale note: at corpus scale hash grams to int64 on both sides and
+    explode the hash array (8-byte Generate rows), not the strings — the
+    string explode here is the bounded-correctness formulation."""
+    grams = docs.select(F.col(id_col).alias("__id"),
+                        F.explode_outer(token_ngrams_expr(F.col(text_col)))
+                        .alias("gram"))
+    hits = (
+        grams.join(F.broadcast(benchmark_grams.select("gram").distinct()),
+                   "gram")
+        .groupBy("__id").agg(F.count("*").alias("n_hits"))
+    )
+    return (
+        docs.join(hits, docs[id_col] == hits["__id"], "left").drop("__id")
+        .withColumn("n_hits",
+                    F.coalesce("n_hits", F.lit(0)).cast("int"))
+        .withColumn("contaminated", F.col("n_hits") > 0)
+    )
