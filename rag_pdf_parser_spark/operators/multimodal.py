@@ -105,3 +105,50 @@ def write_media_blobs(media: DataFrame, out_dir: str,
         "image_path",
         F.concat(F.regexp_replace(F.col(id_col), "/", "_"), F.lit(".bin")),
     )
+
+
+VIDEO_FRAMES_SCHEMA = (
+    "media_id string, n_bytes long, n_frames int, "
+    "frames array<struct<frame_idx: int, offset: long, phash: string>>"
+)
+
+
+def video_frame_features(media: DataFrame, frame_bytes: int = 4096,
+                         every_n: int = 4, id_col: str = "media_id",
+                         bytes_col: str = "content") -> DataFrame:
+    """Frame-SAMPLING plumbing for opaque video columns: treat the payload
+    as a sequence of fixed-size 'frames' (a real decoder would yield real
+    frames at timestamps — the codec libraries are not in this container,
+    so the frame iterator is this deterministic byte-slicer; the schema,
+    Arrow batch shape, nested output structure, and per-frame hashing ARE
+    the real plumbing), sample every `every_n`-th frame, and emit the
+    reference's genuine 8×8 average-hash per sampled frame — the input a
+    video near-dup stage (banded join over frame-hash arrays) consumes.
+
+    Output is one row per media item with a bounded nested frame array —
+    at 100 TB the per-row cost and output size are capped by
+    payload/frame_bytes/every_n, and rows are salted across partitions by
+    id hash exactly like image_features."""
+    from ..kernel.imagex import avg_hash_64, fake_decode_gray
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for m, b in zip(pdf[id_col], pdf[bytes_col]):
+                raw = bytes(b) if b is not None else b""
+                frames = []
+                for fi, off in enumerate(range(0, len(raw), frame_bytes)):
+                    if fi % every_n:
+                        continue
+                    chunk = raw[off:off + frame_bytes]
+                    frames.append(
+                        (fi, off, avg_hash_64(fake_decode_gray(chunk))))
+                out.append((str(m), len(raw), len(frames), frames))
+            yield pd.DataFrame(
+                out, columns=["media_id", "n_bytes", "n_frames", "frames"])
+
+    src = media.select(id_col, bytes_col)
+    n = int(media.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    return src.repartition(n, F.xxhash64(F.col(id_col))).mapInPandas(
+        run, VIDEO_FRAMES_SCHEMA
+    )

@@ -637,3 +637,25 @@ def test_aqe_skew_join_splits_hot_partition(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_video_frame_sampling_plumbing(spark):
+    """Frame-sample plumbing: nested frame array with every_n sampling,
+    per-frame avg-hash equal to a local recomputation, deterministic."""
+    from rag_pdf_parser_spark.kernel.imagex import avg_hash_64, fake_decode_gray
+    from rag_pdf_parser_spark.operators.multimodal import video_frame_features
+
+    payload = bytes(range(256)) * 80  # 20480 bytes → 5 frames of 4096
+    df = spark.createDataFrame(
+        [("v1", payload), ("v2", b"tiny"), ("v3", None)],
+        "media_id string, content binary")
+    got = {r["media_id"]: r
+           for r in video_frame_features(df, every_n=2).collect()}
+    v1 = got["v1"]
+    assert v1["n_bytes"] == 20480
+    # frames 0,2,4 of 5 sampled
+    assert [f["frame_idx"] for f in v1["frames"]] == [0, 2, 4]
+    assert [f["offset"] for f in v1["frames"]] == [0, 8192, 16384]
+    exp0 = avg_hash_64(fake_decode_gray(payload[:4096]))
+    assert v1["frames"][0]["phash"] == exp0
+    assert got["v2"]["n_frames"] == 1 and got["v3"]["n_frames"] == 0
