@@ -152,3 +152,47 @@ def video_frame_features(media: DataFrame, frame_bytes: int = 4096,
     return src.repartition(n, F.xxhash64(F.col(id_col))).mapInPandas(
         run, VIDEO_FRAMES_SCHEMA
     )
+
+
+RESIZED_SCHEMA = (
+    "media_id string, grid int, pixels array<int>"
+)
+
+
+def resize_media(media: DataFrame, target_grid: int = 8,
+                 id_col: str = "media_id",
+                 bytes_col: str = "content") -> DataFrame:
+    """RESIZE plumbing: media payload → target_grid×target_grid grayscale
+    thumbnail via block-mean pooling over the deterministic fake decode
+    (the real decoder slot is decode_image_stub — codec libs absent). The
+    nested-array output shape, pooling math, and Arrow batching are the
+    real pipeline pieces a thumbnail/feature stage needs; pooling is the
+    same arithmetic the reference's resize-before-VLM performs
+    (vlm.py:122-126 bounds the image to 1024px the same way)."""
+    from ..kernel.imagex import GRID, fake_decode_gray
+
+    assert GRID % target_grid == 0, "target must divide the decode grid"
+    blk = GRID // target_grid
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for m, b in zip(pdf[id_col], pdf[bytes_col]):
+                px = fake_decode_gray(bytes(b) if b is not None else b"")
+                pooled = []
+                for by in range(target_grid):
+                    for bx in range(target_grid):
+                        s = 0
+                        for y in range(by * blk, (by + 1) * blk):
+                            row = y * GRID
+                            for x in range(bx * blk, (bx + 1) * blk):
+                                s += px[row + x]
+                        pooled.append(s // (blk * blk))
+                out.append((str(m), target_grid, pooled))
+            yield pd.DataFrame(out, columns=["media_id", "grid", "pixels"])
+
+    src = media.select(id_col, bytes_col)
+    n = int(media.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    return src.repartition(n, F.xxhash64(F.col(id_col))).mapInPandas(
+        run, RESIZED_SCHEMA
+    )

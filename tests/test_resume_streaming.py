@@ -659,3 +659,21 @@ def test_video_frame_sampling_plumbing(spark):
     exp0 = avg_hash_64(fake_decode_gray(payload[:4096]))
     assert v1["frames"][0]["phash"] == exp0
     assert got["v2"]["n_frames"] == 1 and got["v3"]["n_frames"] == 0
+
+
+def test_resize_media_block_mean(spark):
+    from rag_pdf_parser_spark.kernel.imagex import GRID, fake_decode_gray
+    from rag_pdf_parser_spark.operators.multimodal import resize_media
+
+    payload = bytes(range(200)) * 11
+    df = spark.createDataFrame([("m1", payload)],
+                               "media_id string, content binary")
+    r = resize_media(df, target_grid=8).collect()[0]
+    assert r["grid"] == 8 and len(r["pixels"]) == 64
+    # local recomputation of one pooled cell
+    px = fake_decode_gray(payload)
+    blk = GRID // 8
+    exp00 = sum(px[y * GRID + x] for y in range(blk)
+                for x in range(blk)) // (blk * blk)
+    assert r["pixels"][0] == exp00
+    assert all(0 <= v <= 255 for v in r["pixels"])
