@@ -246,6 +246,7 @@ _CDATA_CLOSE = {
     t: re.compile(r"</\s*%s\s*>" % t, re.I)
     for t in ("script", "style")
 }
+_COMMENT_CLOSE = re.compile(r"--\s*>")
 
 
 def _fast_tree(s: str) -> _Node:
@@ -285,8 +286,13 @@ def _fast_tree(s: str) -> _Node:
             data = s[i:lt]
             stack[-1].children.append(unescape(data) if "&" in data else data)
         c = s[lt + 1:lt + 2]
-        if c.isalpha():
+        # ASCII letters only — stdlib starttagopen is `<[a-zA-Z]`; a '<'
+        # before a non-ASCII letter ('<é', '<中') is DATA, and str.isalpha()
+        # would wrongly enter the tag branch (then crash on a None match)
+        if "a" <= c <= "z" or "A" <= c <= "Z":
             m = loc_match(s, lt)
+            if m is None:
+                raise _FastBailout
             j = m.end()
             if s.startswith(">", j):
                 endpos = j + 1
@@ -346,10 +352,16 @@ def _fast_tree(s: str) -> _Node:
             i = m.end()
         elif c == "!":
             if s.startswith("<!--", lt):
-                end = sfind("-->", lt + 4)
-                if end < 0:
+                # stdlib commentclose is r'--\s*>' (NOT the literal '-->')
+                mm = _COMMENT_CLOSE.search(s, lt + 4)
+                if mm is None:
                     raise _FastBailout
-                i = end + 3
+                i = mm.end()
+            elif s.startswith("<![", lt):
+                # stdlib marked-section handling is keyword-dependent
+                # (']>' for cdata/ignore/…, '>' for if/else, AssertionError
+                # for unknown keywords) — always defer to the stdlib path
+                raise _FastBailout
             else:
                 end = sfind(">", lt)
                 if end < 0:

@@ -382,6 +382,16 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
         labels = new_labels.drop("__changed")
         if changed == 0:
             break
+    else:
+        # exhausting max_iter with changes still flowing means a component
+        # of diameter > max_iter got SPLIT labels — wrong answers that look
+        # converged. Fail loudly instead (raise the bound or switch to
+        # large-star/small-star for long-chain graphs).
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            f"({changed} labels still changing); component diameter exceeds "
+            "max_iter — raise it or use star-contraction for chain graphs"
+        )
     return labels.select("id", "comp")
 
 

@@ -21,6 +21,14 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _sec_col(df: DataFrame, c: str, qualified: str):
+    dt = dict(df.dtypes)[c]
+    if dt in ("bigint", "int", "smallint", "tinyint", "double", "float",
+              "long", "decimal"):
+        return F.col(qualified).cast("long")
+    return F.unix_timestamp(F.col(qualified))
+
+
 def range_join_binned(left: DataFrame, right: DataFrame, on: str,
                       ts: str, start: str, end: str,
                       bin_width_sec: int = 900,
@@ -29,13 +37,20 @@ def range_join_binned(left: DataFrame, right: DataFrame, on: str,
     ``right.start <= left.ts < right.end``, same key `on`.
 
     `how='left'` keeps unmatched left rows (interval columns null).
-    Timestamps may be TIMESTAMP or numeric epoch; binning uses epoch
-    seconds.
+    Timestamps may be TIMESTAMP/DATE/STRING (epoch via unix_timestamp) or
+    already-numeric epoch seconds (used as-is — unix_timestamp rejects
+    numeric input).
     """
-    sec = lambda c: F.unix_timestamp(F.col(c))  # noqa: E731
-    l_bin = F.floor(sec(ts) / bin_width_sec)
-    r_lo = F.floor(sec(start) / bin_width_sec)
-    r_hi = F.floor((sec(end) - F.lit(1)) / bin_width_sec)  # end exclusive
+    def sec(df: DataFrame, c: str):
+        dt = dict(df.dtypes)[c]
+        if dt in ("bigint", "int", "smallint", "tinyint", "double",
+                  "float", "long", "decimal"):
+            return F.col(c).cast("long")
+        return F.unix_timestamp(F.col(c))
+
+    l_bin = F.floor(sec(left, ts) / bin_width_sec)
+    r_lo = F.floor(sec(right, start) / bin_width_sec)
+    r_hi = F.floor((sec(right, end) - F.lit(1)) / bin_width_sec)  # end exclusive
     l_tag = left.withColumn("__bin", l_bin)
     r_tag = right.withColumn(
         "__bin", F.explode(F.sequence(r_lo, F.greatest(r_hi, r_lo)))
@@ -44,8 +59,10 @@ def range_join_binned(left: DataFrame, right: DataFrame, on: str,
         r_tag.alias("r"),
         (F.col(f"l.{on}") == F.col(f"r.{on}"))
         & (F.col("l.__bin") == F.col("r.__bin"))
-        & (F.unix_timestamp(F.col(f"r.{start}")) <= F.unix_timestamp(F.col(f"l.{ts}")))
-        & (F.unix_timestamp(F.col(f"l.{ts}")) < F.unix_timestamp(F.col(f"r.{end}"))),
+        & (_sec_col(right, start, f"r.{start}")
+           <= _sec_col(left, ts, f"l.{ts}"))
+        & (_sec_col(left, ts, f"l.{ts}")
+           < _sec_col(right, end, f"r.{end}")),
         how,
     )
     out_cols = [F.col(f"l.{c}") for c in left.columns]

@@ -129,9 +129,12 @@ class ExtractionPipeline:
 
             register_hashes(
                 self.seen_path,
-                docs_m.where(~F.col("__dup")).select(
-                    normalized_text_hash_expr(
-                        F.coalesce("extracted_text", F.lit(""))).alias("hash"),
+                docs_m.where(
+                    ~F.col("__dup") & F.col("failure_code").isNull()
+                    & (F.length(F.coalesce("extracted_text", F.lit(""))) > 0)
+                ).select(
+                    normalized_text_hash_expr(F.col("extracted_text"))
+                    .alias("hash"),
                     F.lit("normalized_text").alias("kind"),
                     F.lit(run_id).alias("source"),
                 ),
@@ -146,13 +149,24 @@ class ExtractionPipeline:
 
     def _mark_duplicates(self, docs_m: DataFrame, run_id: str) -> DataFrame:
         """Add `__dup`: true when the doc's normalized-text hash is in the
-        persistent seen store OR a smaller url in this batch owns the hash."""
+        persistent seen store OR a smaller url in this batch owns the hash.
+
+        Failed or empty extractions are NEVER gated: all of EMPTY_HTML /
+        PARSE_ERROR / oversize docs share extracted_text='' and would
+        otherwise collapse into one 'duplicate' class (and poison the seen
+        store with hash('') forever); a parse failure is not a content
+        duplicate. Their hash is null → excluded from winners, the seen
+        join, and registration."""
         from ..functions import normalized_text_hash_expr
 
-        h = normalized_text_hash_expr(F.coalesce("extracted_text", F.lit("")))
+        gate_ok = (F.col("failure_code").isNull()
+                   & (F.length(F.coalesce("extracted_text", F.lit(""))) > 0))
+        h = F.when(gate_ok,
+                   normalized_text_hash_expr(F.col("extracted_text")))
         hashed = docs_m.withColumn("__h", h)
-        winners = hashed.groupBy("__h").agg(F.min("url").alias("__wurl"))
-        hashed = hashed.join(winners, "__h")
+        winners = hashed.where(F.col("__h").isNotNull()) \
+            .groupBy("__h").agg(F.min("url").alias("__wurl"))
+        hashed = hashed.join(winners, "__h", "left")
         if os.path.exists(self.seen_path):
             seen = (
                 self.spark.read.parquet(self.seen_path)
@@ -165,8 +179,9 @@ class ExtractionPipeline:
             hashed = hashed.withColumn("__seen", F.lit(None).cast("boolean"))
         return hashed.withColumn(
             "__dup",
-            F.coalesce("__seen", F.lit(False))
-            | (F.col("url") != F.col("__wurl")),
+            F.col("__h").isNotNull()
+            & (F.coalesce("__seen", F.lit(False))
+               | (F.col("url") != F.col("__wurl"))),
         ).drop("__h", "__wurl", "__seen")
 
     # -- lineage metrics --------------------------------------------------------

@@ -81,8 +81,14 @@ def run_streaming_dedup(spark: SparkSession, src_dir: str, schema,
         sp = batch.sparkSession
         seen = sp.read.parquet(seen_dir) if os.path.exists(seen_dir) else None
         novel, nb = novel_against_store(batch, seen, id_col, text_col)
-        nb.select("band", "bucket").write.mode("append").parquet(seen_dir)
+        # OUTPUT FIRST, store second: if the job dies between the writes, a
+        # retry re-runs the batch against a store that does NOT yet contain
+        # its own buckets, so the docs are re-emitted (at-least-once
+        # duplicates in the sink — dedup by id downstream). The reverse
+        # order would make a retried batch LSH-collide with itself and
+        # silently drop every document.
         novel.write.mode("append").parquet(out_dir)
+        nb.select("band", "bucket").write.mode("append").parquet(seen_dir)
 
     q = (
         stream.writeStream.foreachBatch(process)

@@ -454,6 +454,10 @@ class TestFastTokenizer:
             "text<", "<!--unterminated", "<script>never closed",
             "<td colspan=2>x", "<p>&amp", "<a href=x>l</a>",
             "\x00weird<p>\x01</p>", "<p = >x</p>", "<p//>x",
+            # non-ASCII after '<' is DATA (stdlib starttagopen is ASCII)
+            "<p>prix <\u00e9co> reduced</p>", "<\u4e2d>x</\u4e2d>",
+            # stdlib comment close is '--\\s*>' not the literal '-->'
+            "<p>a<!-- c -- >tail--></p>",
         ]
         for s in samples:
             self._check(s)

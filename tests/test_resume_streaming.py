@@ -536,6 +536,21 @@ class TestRangeJoin:
                                           how="left").collect()}
         assert got == {1: 10, 2: 10, 3: None, 4: 30}, got
 
+    def test_numeric_epoch_columns(self, spark):
+        """Documented contract: ts/start/end may be numeric epoch seconds."""
+        from rag_pdf_parser_spark.operators.rangejoin import range_join_binned
+
+        left = spark.createDataFrame(
+            [(1, "a", 100), (2, "a", 5000)], "event_id long, k string, ts long")
+        right = spark.createDataFrame(
+            [("a", 0, 1000, 7)], "k string, s long, e long, tag int")
+        got = {r["event_id"]: r["tag"]
+               for r in range_join_binned(left, right, on="k", ts="ts",
+                                          start="s", end="e",
+                                          bin_width_sec=600,
+                                          how="left").collect()}
+        assert got == {1: 7, 2: None}, got
+
     def test_no_nested_loop_join(self, spark):
         """The whole point: the binned formulation must plan as hash/merge
         equi-joins, never BroadcastNestedLoopJoin."""
@@ -548,6 +563,29 @@ class TestRangeJoin:
         assert "BroadcastNestedLoopJoin" not in plan, plan
         assert ("SortMergeJoin" in plan or "ShuffledHashJoin" in plan
                 or "BroadcastHashJoin" in plan), plan
+
+
+def test_pipeline_dedupe_never_gates_failures(spark, tmp_path):
+    """Failed/empty extractions all share extracted_text='' but are NOT
+    content duplicates of each other — none may be gated or registered."""
+    import pandas as pd
+
+    from rag_pdf_parser_spark.plans.pipeline import ExtractionPipeline
+    from rag_pdf_parser_spark.schema import PAGES_SCHEMA
+
+    rows = [(f"https://f.example/{i}", None, b"", "", "en") for i in range(4)]
+    rows.append(("https://f.example/ok", None,
+                 b"<html><body><p>real content here</p></body></html>", "", "en"))
+    pages = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["url", "warc_ts", "html", "text", "lang"]),
+        schema=PAGES_SCHEMA)
+    p = ExtractionPipeline(spark, str(tmp_path / "f"), partitions=2)
+    r = p.run(pages, run_id="r1", with_chunks=False, dedupe=True)
+    assert r["duplicates_skipped"] == 0, r
+    m = spark.read.parquet(p.manifest_path)
+    assert m.where(F.col("failure_code") == "DUPLICATE").count() == 0
+    # only the real doc's hash registered
+    assert spark.read.parquet(p.seen_path).count() == 1
 
 
 def test_pipeline_dedupe_gate(spark, tmp_path):
