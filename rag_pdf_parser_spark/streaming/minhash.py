@@ -11,8 +11,8 @@ micro-batch
    ⇒ near-duplicate of something already accepted; threshold tuning =
    bands/rows, exactly as in batch),
 3. also dedups WITHIN the batch (keep the smallest id per bucket chain),
-4. appends the surviving documents' buckets to the store and the documents
-   to the output sink.
+4. writes the surviving documents to the output sink FIRST, then appends
+   their buckets to the store (retry-safe order — see process()).
 
 foreachBatch gives at-least-once semantics on retry: re-appending a
 surviving doc's buckets is harmless (duplicate (id, band, bucket) rows
