@@ -357,7 +357,12 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
         edges.select(F.col("src").alias("id")).distinct()
         .withColumn("comp", F.col("id"))
     )
-    for _ in range(max_iter):
+    if max_iter < 1:
+        raise ValueError("max_iter must be >= 1")
+    # max_iter propagation rounds + 1 certification round: convergence is
+    # certified by a zero-change round, so a graph converging in EXACTLY
+    # max_iter rounds still certifies (and returns) rather than raising.
+    for _ in range(max_iter + 1):
         neighbor_min = (
             edges.join(labels, edges["dst"] == labels["id"])
             .groupBy("src").agg(F.min("comp").alias("nmin"))
@@ -446,7 +451,7 @@ def decontaminate_flags(docs: DataFrame, benchmark_grams: DataFrame,
     explode the hash array (8-byte Generate rows), not the strings — the
     string explode here is the bounded-correctness formulation."""
     grams = docs.select(F.col(id_col).alias("__id"),
-                        F.explode_outer(token_ngrams_expr(F.col(text_col)))
+                        F.explode_outer(token_ngrams_expr(F.col(text_col), n))
                         .alias("gram"))
     hits = (
         grams.join(F.broadcast(benchmark_grams.select("gram").distinct()),

@@ -29,6 +29,16 @@ IMAGE_FEATURES_SCHEMA = (
 )
 
 
+def _salted_map(media: DataFrame, id_col: str, bytes_col: str, run,
+                schema: str) -> DataFrame:
+    """Shared shape of every media feature stage: project (id, bytes),
+    salt rows uniformly by id hash, one Arrow mapInPandas."""
+    src = media.select(id_col, bytes_col)
+    n = int(media.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    return src.repartition(n, F.xxhash64(F.col(id_col))).mapInPandas(
+        run, schema)
+
+
 def decode_image_stub(raw: bytes):
     """Real decode requires PIL/opencv — not in this container. The Spark
     plumbing around this call (schema, batching, partitioning) is real and
@@ -58,11 +68,7 @@ def image_features(media: DataFrame, id_col: str = "media_id",
                          "format_guess"],
             )
 
-    src = media.select(id_col, bytes_col)
-    n = int(media.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    return src.repartition(n, F.xxhash64(F.col(id_col))).mapInPandas(
-        run, IMAGE_FEATURES_SCHEMA
-    )
+    return _salted_map(media, id_col, bytes_col, run, IMAGE_FEATURES_SCHEMA)
 
 
 def media_from_blocks(blocks: DataFrame) -> DataFrame:
@@ -147,11 +153,7 @@ def video_frame_features(media: DataFrame, frame_bytes: int = 4096,
             yield pd.DataFrame(
                 out, columns=["media_id", "n_bytes", "n_frames", "frames"])
 
-    src = media.select(id_col, bytes_col)
-    n = int(media.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    return src.repartition(n, F.xxhash64(F.col(id_col))).mapInPandas(
-        run, VIDEO_FRAMES_SCHEMA
-    )
+    return _salted_map(media, id_col, bytes_col, run, VIDEO_FRAMES_SCHEMA)
 
 
 RESIZED_SCHEMA = (
@@ -171,7 +173,10 @@ def resize_media(media: DataFrame, target_grid: int = 8,
     (vlm.py:122-126 bounds the image to 1024px the same way)."""
     from ..kernel.imagex import GRID, fake_decode_gray
 
-    assert GRID % target_grid == 0, "target must divide the decode grid"
+    if GRID % target_grid != 0:
+        raise ValueError(
+            f"target_grid must divide the decode grid {GRID} "
+            f"(got {target_grid})")  # a bare assert vanishes under -O
     blk = GRID // target_grid
 
     def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -191,8 +196,4 @@ def resize_media(media: DataFrame, target_grid: int = 8,
                 out.append((str(m), target_grid, pooled))
             yield pd.DataFrame(out, columns=["media_id", "grid", "pixels"])
 
-    src = media.select(id_col, bytes_col)
-    n = int(media.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    return src.repartition(n, F.xxhash64(F.col(id_col))).mapInPandas(
-        run, RESIZED_SCHEMA
-    )
+    return _salted_map(media, id_col, bytes_col, run, RESIZED_SCHEMA)

@@ -22,10 +22,14 @@ from pyspark.sql import functions as F
 
 
 def _sec_col(df: DataFrame, c: str, qualified: str):
+    """Epoch seconds for binning/predicates: numeric columns pass through
+    as DOUBLE (fractional seconds preserved — a long cast would truncate
+    and misjoin at sub-second boundaries); TIMESTAMP/DATE/STRING go via
+    unix_timestamp (whole seconds, Spark semantics)."""
     dt = dict(df.dtypes)[c]
-    if dt in ("bigint", "int", "smallint", "tinyint", "double", "float",
-              "long", "decimal"):
-        return F.col(qualified).cast("long")
+    if dt in ("bigint", "int", "smallint", "tinyint", "double",
+              "float") or dt.startswith("decimal"):
+        return F.col(qualified).cast("double")
     return F.unix_timestamp(F.col(qualified))
 
 
@@ -42,11 +46,7 @@ def range_join_binned(left: DataFrame, right: DataFrame, on: str,
     numeric input).
     """
     def sec(df: DataFrame, c: str):
-        dt = dict(df.dtypes)[c]
-        if dt in ("bigint", "int", "smallint", "tinyint", "double",
-                  "float", "long", "decimal"):
-            return F.col(c).cast("long")
-        return F.unix_timestamp(F.col(c))
+        return _sec_col(df, c, c)
 
     l_bin = F.floor(sec(left, ts) / bin_width_sec)
     r_lo = F.floor(sec(right, start) / bin_width_sec)
