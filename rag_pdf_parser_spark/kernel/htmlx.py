@@ -22,7 +22,9 @@ from __future__ import annotations
 import hashlib
 import re
 from dataclasses import dataclass, field
-from html.parser import HTMLParser
+from html import unescape
+from html.parser import (HTMLParser, attrfind_tolerant, endtagfind,
+                         locatestarttagend_tolerant, tagfind_tolerant)
 from typing import Optional
 
 from .lang import detect_language
@@ -262,10 +264,6 @@ def _fast_tree(s: str) -> _Node:
     tests/test_kernel.py. ~3× faster than HTMLParser.goahead because it
     skips the incremental-feed buffering, line/col tracking, and per-token
     method dispatch."""
-    from html import unescape
-    from html.parser import (attrfind_tolerant, endtagfind,
-                             locatestarttagend_tolerant, tagfind_tolerant)
-
     root = _Node("document", {})
     stack = [root]
     i, n = 0, len(s)
