@@ -271,3 +271,23 @@ def test_connected_components_chain_converges(spark):
     comp = {r["id"]: r["comp"] for r in connected_components(pairs).collect()}
     assert all(comp[i] == 0 for i in range(12)), comp
     assert comp[20] == comp[21] == 20, comp
+
+
+def test_decontaminate_respects_n(spark):
+    """Regression: the n parameter must thread through to gram construction
+    (a benchmark of 3-grams must match docs at 3-gram granularity)."""
+    from rag_pdf_parser_spark.operators.dedup import (decontaminate_flags,
+                                                      token_ngrams_expr)
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "beta gamma delta epsilon"),
+         (3, "totally different words here")],
+        "doc_id long, text string")
+    bench = spark.createDataFrame([("beta gamma delta",)], "gram string")
+    got = {r["doc_id"]: (r["n_hits"], r["contaminated"])
+           for r in decontaminate_flags(docs, bench, n=3).collect()}
+    assert got == {1: (1, True), 2: (1, True), 3: (0, False)}, got
+    # and the gram builder itself at n=2
+    grams = spark.createDataFrame([("a b c",)], "text string").select(
+        token_ngrams_expr(F.col("text"), 2).alias("g")).collect()[0]["g"]
+    assert grams == ["a b", "b c"], grams
