@@ -238,3 +238,25 @@ class TestGopherQuality:
             rows[1]["symbol_word_ratio"] >= 0.1
         # too short
         assert rows[2]["gopher_keep"] is False
+
+
+def test_round_half_up_twin_matches_spark(spark):
+    """kernel.twins.round_half_up claims Spark F.round semantics
+    (BigDecimal HALF_UP over the shortest decimal repr). Verify over
+    adversarial values — halfway points, float-noise neighbors, negatives,
+    and pseudo-random cosines — in one batched DataFrame pass."""
+    import random
+
+    from rag_pdf_parser_spark.kernel.twins import round_half_up
+
+    vals = [0.12345, 0.123450000001, 0.123449999999, -0.12345, 0.99995,
+            -0.99995, 0.5e-4, 1.00005, 0.0, 1.0, -1.0, 0.93215, 0.93225]
+    rng = random.Random(3)
+    vals += [rng.uniform(-1, 1) for _ in range(500)]
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)],
+                               "i int, v double")
+    got = {r["i"]: r["r"] for r in df.select(
+        "i", F.round("v", 4).alias("r")).collect()}
+    bad = [(v, got[i], round_half_up(v, 4)) for i, v in enumerate(vals)
+           if got[i] != round_half_up(v, 4)]
+    assert not bad, bad[:5]
