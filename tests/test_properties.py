@@ -260,3 +260,36 @@ def test_round_half_up_twin_matches_spark(spark):
     bad = [(v, got[i], round_half_up(v, 4)) for i, v in enumerate(vals)
            if got[i] != round_half_up(v, 4)]
     assert not bad, bad[:5]
+
+
+def test_float32_and_cosine_twins_match_spark(spark):
+    """The other legs of the chunk-knn golden: _f32 must equal Spark's
+    float cast bit-for-bit, and cosine_seq must equal cosine_expr exactly
+    (same IEEE operation order) over random float32 vectors."""
+    import random
+
+    from rag_pdf_parser_spark.functions import cosine_expr
+    from rag_pdf_parser_spark.kernel.twins import _f32, cosine_seq
+
+    rng = random.Random(9)
+    vals = [rng.uniform(-10, 10) for _ in range(300)] + [0.1, 1e-40, -1e-40]
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)],
+                               "i int, v double")
+    got = {r["i"]: r["f"] for r in df.select(
+        "i", F.col("v").cast("float").cast("double").alias("f")).collect()}
+    bad = [(v, got[i], _f32(v)) for i, v in enumerate(vals)
+           if got[i] != _f32(v)]
+    assert not bad, bad[:5]
+
+    vecs = [([rng.uniform(-1, 1) for _ in range(32)],
+             [rng.uniform(-1, 1) for _ in range(32)]) for _ in range(50)]
+    vdf = spark.createDataFrame(
+        [(i, [_f32(x) for x in a], [_f32(x) for x in b])
+         for i, (a, b) in enumerate(vecs)],
+        "i int, a array<float>, b array<float>")
+    gotc = {r["i"]: r["c"] for r in vdf.select(
+        "i", cosine_expr(F.col("a"), F.col("b")).alias("c")).collect()}
+    badc = [i for i, (a, b) in enumerate(vecs)
+            if gotc[i] != cosine_seq([_f32(x) for x in a],
+                                     [_f32(x) for x in b])]
+    assert not badc, badc[:5]
