@@ -293,3 +293,25 @@ def test_float32_and_cosine_twins_match_spark(spark):
             if gotc[i] != cosine_seq([_f32(x) for x in a],
                                      [_f32(x) for x in b])]
     assert not badc, badc[:5]
+
+
+def test_hash_embedding_twin_matches_spark(spark):
+    """hash_embedding + l2_normalize twins vs the Spark expressions over
+    adversarial strings (unicode ws, CJK, empties, repeated tokens)."""
+    from rag_pdf_parser_spark.functions import (hash_embedding_expr,
+                                                l2_normalize_expr)
+    from rag_pdf_parser_spark.kernel.twins import (hash_embedding,
+                                                   l2_normalize_f32)
+
+    texts = ["hello world hello", "  spaced\t tokens \n lines ",
+             "数据 引擎 data 数据", "", "one", "a " * 100,
+             "MiXeD CaSe MIXED case", "punct, here! and; there?"]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "i int, text string")
+    vec = F.transform(l2_normalize_expr(hash_embedding_expr(F.col("text"))),
+                      lambda v: v.cast("float"))
+    got = {r["i"]: list(r["v"]) for r in df.select(
+        "i", vec.alias("v")).collect()}
+    for i, t in enumerate(texts):
+        exp = l2_normalize_f32(hash_embedding(t))
+        assert got[i] == exp, (i, t, got[i][:4], exp[:4])
