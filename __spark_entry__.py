@@ -1069,18 +1069,20 @@ _EXTRA_KEYS = (
     # pushdown coverage lives in the plan audit + pricing_summary's
     # filtered scan; slot given to corpus_line_dedup
     "lineitem_filter_scan",
-    # cluster stage over the same pairs minhash_lsh_xx already checks —
-    # pytest-extras slot (driver registry is at the 50-row cap)
-    "dup_components",
-    # containment-join variant of the asof/session family — extras slot
-    "session_range_join",
-    # PII scrubbing over synthesized suffixes — extras slot
-    "pii_scrub",
-    # eval-set decontamination — extras slot
-    "decontaminate",
     # per-block interleave superseded in the driver set by the
     # paragraph-aware whole-document form (bilingual_markdown)
     "bilingual_interleave",
+    # r4 rotation (r3 verdict #1): these four redundant relational rows gave
+    # their driver slots to decontaminate / pii_scrub / dup_components /
+    # session_range_join (the LLM-pipeline ops a training-data user actually
+    # runs). Coverage they carried remains in the driver set: filtered
+    # scan+agg via rollup_order_counts/value_percentiles, semi-join via
+    # orders_with_returned_items, outer-join counts via
+    # customer_order_counts_outer, token_est via the quality family.
+    "pricing_summary",
+    "token_counts",
+    "customers_with_orders",
+    "supplier_distinct_parts",
 )
 
 

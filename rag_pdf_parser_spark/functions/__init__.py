@@ -103,26 +103,12 @@ def markdown_expr(btype: Column, text: Column) -> Column:
     )
 
 
-def char_ngrams_expr(text: Column, n: int = 5) -> Column:
-    """Distinct character n-gram shingles of the normalized text (for
-    MinHash / Jaccard). Pure expression: sequence + transform + substring."""
-    norm = normalized_text_expr(text)
-    idx = F.sequence(F.lit(1), F.greatest(F.length(norm) - (n - 1), F.lit(1)))
-    return F.array_distinct(
-        F.transform(idx, lambda i: F.substring(norm, i, n))
-    )
-
-
-def minhash_sha_expr(shingles: Column, perm: int) -> Column:
-    """One MinHash signature component: lexicographic min of
-    sha256(shingle || '#' || perm) over the shingle set. Using a cryptographic
-    hash keeps the signature engine-portable (identical in DuckDB oracles);
-    the throughput path uses xxhash64 instead (operators.dedup)."""
-    return F.array_min(
-        F.transform(
-            shingles, lambda s: F.sha2(F.concat(s, F.lit(f"#{perm}")), 256)
-        )
-    )
+# NOTE (r4): the former char_ngrams_expr / minhash_sha_expr helpers were
+# deleted — nothing referenced them, and the materialized-array explode
+# shape char_ngrams_expr embodied measured 37× slower than the
+# index-sequence Generate the shipping operators use
+# (operators/dedup.py minhash_signature). Shingle semantics live on in
+# kernel/twins.py:char_shingles (pure-Python oracle twin).
 
 
 def quality_features_expr(text: Column) -> dict[str, Column]:

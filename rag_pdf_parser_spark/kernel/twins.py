@@ -36,8 +36,9 @@ def normalized_text(text: str) -> str:
 
 
 def char_shingles(text: str, n: int = 5) -> set[str]:
-    """Twin of functions.char_ngrams_expr: substring(norm, i, n) for
-    i in 1..max(len-n+1, 1), distinct."""
+    """Twin of the operator shingle shape (operators/dedup.py
+    minhash_signature): substring(norm, i, n) for i in 1..max(len-n+1, 1),
+    distinct."""
     norm = normalized_text(text)
     top = max(len(norm) - (n - 1), 1)
     return {norm[i:i + n] for i in range(top)}

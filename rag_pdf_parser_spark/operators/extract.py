@@ -113,7 +113,12 @@ def extract_docs_full(pages: DataFrame, partitions: int | None = None,
     """
     src = pages.select("url", "html")
     if salt:
-        n = partitions or int(
+        # Same 3× default as extract_docs (r3 verdict #7 unification): the
+        # fused stage is MORE straggler-prone, not less — chunking adds
+        # per-doc cost on top of extraction, so uneven per-document work
+        # dominates the tail and finer tasks amortize it. Measured at sf0.1
+        # local[32] (salted, min-of-2 warm): 1× = 5.96 s, 3× = 4.71 s.
+        n = partitions or 3 * int(
             pages.sparkSession.conf.get("spark.sql.shuffle.partitions"))
         src = src.repartition(n, F.xxhash64("url"))
     return src.mapInPandas(_extract_full_batches, DOCS_FULL_SCHEMA)

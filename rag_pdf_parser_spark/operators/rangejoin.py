@@ -45,12 +45,22 @@ def range_join_binned(left: DataFrame, right: DataFrame, on: str,
     already-numeric epoch seconds (used as-is — unix_timestamp rejects
     numeric input).
     """
+    if how not in ("inner", "left"):
+        # 'right'/'full' would be WRONG, not just unsupported: the right
+        # side is exploded per bin before the join, so unmatched right rows
+        # would surface once per exploded bin.
+        raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
+
     def sec(df: DataFrame, c: str):
         return _sec_col(df, c, c)
 
     l_bin = F.floor(sec(left, ts) / bin_width_sec)
     r_lo = F.floor(sec(right, start) / bin_width_sec)
-    r_hi = F.floor((sec(right, end) - F.lit(1)) / bin_width_sec)  # end exclusive
+    # end is EXCLUSIVE: the last bin able to hold a match is the bin of
+    # sup{ts < end} = ceil(end/w) - 1, exact for integer ends (multiple of
+    # w ⇒ previous bin) AND fractional ends (900.2 with w=900 ⇒ bin 1 —
+    # floor((end-1)/w) dropped that bin and silently lost matches).
+    r_hi = F.ceil(sec(right, end) / bin_width_sec) - F.lit(1)
     l_tag = left.withColumn("__bin", l_bin)
     r_tag = right.withColumn(
         "__bin", F.explode(F.sequence(r_lo, F.greatest(r_hi, r_lo)))

@@ -15,11 +15,36 @@ anti-join of pages against manifest urls — exactly the reference's
 SQLite doc_status skip (persistent.py:369-406) as a relational op. Per-url
 (not per-partition-summary) rows keep resume exact under repartitioning;
 a summary view aggregates them for metrics.
+
+Commit protocol (crash-exactness across MID-JOB death, r3 verdict #2):
+content sinks append under a per-run ``batch_id=<token>`` partition, and the
+batch becomes visible only when its manifest directory is atomically renamed
+into place — the manifest IS the commit log, and a batch is committed iff
+``manifest/batch_id=<token>/`` exists:
+
+    1. docs/blocks/chunks append partitioned by batch_id   (uncommitted)
+    2. manifest rows staged to _staging/<token>            (uncommitted)
+    3. os.rename(_staging/<token>, manifest/batch_id=<token>)  ← COMMIT
+
+A crash anywhere before (3) leaves orphan batch partitions that committed
+readers (`read_docs`/`read_blocks`/`read_chunks`) prune out by batch_id —
+the rerun re-extracts those urls (the manifest never saw them) under a new
+token, so committed output equals an uninterrupted run EXACTLY. Orphans are
+reclaimed by `vacuum_uncommitted()`. The reference's doc_status marking
+(persistent.py:369-406) has the same window with no committed-reader story.
+POSIX rename is atomic on local/HDFS filesystems; on object stores the same
+role is played by an Iceberg/metastore metadata swap (SURVEY §1.1 maps the
+manifest to a Delta/Iceberg table — jars absent in this sandbox).
+Hash registration (dedupe=True) runs after the commit point: a crash between
+them loses only the *flagging* of future duplicates (at-least-once dedup),
+never rows.
 """
 
 from __future__ import annotations
 
 import os
+import shutil
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -78,9 +103,73 @@ class ExtractionPipeline:
         mark-status flow)."""
         return self._run(pages, run_id, with_chunks, fmt, dedupe)
 
+    # -- commit protocol -------------------------------------------------------
+    def committed_batch_ids(self) -> list[str]:
+        """The commit log is the manifest directory listing: one
+        ``batch_id=<token>`` dir per committed batch (created by the atomic
+        rename in `_commit`). Control-plane metadata — one entry per *run*,
+        not per row, so a driver-side listing stays tiny at any data scale."""
+        if not os.path.isdir(self.manifest_path):
+            return []
+        return sorted(
+            d.split("=", 1)[1] for d in os.listdir(self.manifest_path)
+            if d.startswith("batch_id=")
+        )
+
+    def _commit(self, staging_dir: str, batch_id: str) -> None:
+        """COMMIT POINT: atomically publish the staged manifest batch.
+        Everything before this call is invisible to committed readers;
+        everything after is durable. (Separate method = test seam for the
+        mid-job-crash test, and the Iceberg-swap point in a real deploy.)"""
+        os.makedirs(self.manifest_path, exist_ok=True)
+        os.rename(staging_dir,
+                  os.path.join(self.manifest_path, f"batch_id={batch_id}"))
+
+    def _read_committed(self, path: str, fmt: str = "parquet") -> DataFrame:
+        ids = self.committed_batch_ids()
+        df = self.spark.read.format(fmt).load(path)
+        # isin over the partition column → static partition pruning (no data
+        # files of orphan batches are even opened); asserted in tests.
+        return df.where(F.col("batch_id").isin(ids)).drop("batch_id")
+
+    def read_docs(self, fmt: str = "parquet") -> DataFrame:
+        """Committed-only view of the docs sink (crash-orphan batches
+        pruned by partition filter)."""
+        return self._read_committed(self.docs_path, fmt)
+
+    def read_blocks(self, fmt: str = "parquet") -> DataFrame:
+        return self._read_committed(self.blocks_path, fmt)
+
+    def read_chunks(self, fmt: str = "parquet") -> DataFrame:
+        return self._read_committed(self.chunks_path, fmt)
+
+    def vacuum_uncommitted(self) -> int:
+        """Reclaim orphan batch partitions left by a mid-job crash (present
+        in a content sink, absent from the manifest commit log) plus any
+        abandoned staging dirs. Returns the number of directories removed.
+        Safe to run concurrently with readers: committed readers never look
+        at these paths."""
+        committed = set(self.committed_batch_ids())
+        removed = 0
+        for sink in (self.docs_path, self.blocks_path, self.chunks_path):
+            if not os.path.isdir(sink):
+                continue
+            for d in os.listdir(sink):
+                if d.startswith("batch_id=") and \
+                        d.split("=", 1)[1] not in committed:
+                    shutil.rmtree(os.path.join(sink, d))
+                    removed += 1
+        staging_root = os.path.join(self.out_dir, "_staging")
+        if os.path.isdir(staging_root):
+            for d in os.listdir(staging_root):
+                shutil.rmtree(os.path.join(staging_root, d))
+                removed += 1
+        return removed
+
     def _run(self, pages: DataFrame, run_id: str,
              with_chunks: bool, fmt: str, dedupe: bool = False) -> dict:
         todo = self.pending(pages)
+        batch_id = f"{run_id}-{uuid.uuid4().hex[:12]}"
         # fused extract+chunk: one Arrow stage, no chunking shuffle
         docs = extract_docs_full(todo, self.partitions)
 
@@ -100,17 +189,25 @@ class ExtractionPipeline:
         # the batch immutably before any sink write.
         docs_m = docs_m.localCheckpoint(eager=True)
         n_docs = docs_m.count()
-        fresh = docs_m.where(~F.col("__dup")).drop("__dup")
+        fresh = docs_m.where(~F.col("__dup")).drop("__dup") \
+            .withColumn("batch_id", F.lit(batch_id))
 
+        # content sinks: UNCOMMITTED until _commit below (batch_id partition
+        # + manifest-dir commit log; see module docstring)
         (fresh.drop("blocks", "chunks")
-         .write.mode("append").format(fmt).save(self.docs_path))
+         .write.mode("append").partitionBy("batch_id")
+         .format(fmt).save(self.docs_path))
 
-        blocks = explode_blocks(fresh.drop("chunks"))
-        blocks.write.mode("append").format(fmt).save(self.blocks_path)
+        blocks = explode_blocks(fresh.drop("chunks", "batch_id")) \
+            .withColumn("batch_id", F.lit(batch_id))
+        (blocks.write.mode("append").partitionBy("batch_id")
+         .format(fmt).save(self.blocks_path))
 
         if with_chunks:
-            (explode_chunks(fresh)
-             .write.mode("append").format(fmt).save(self.chunks_path))
+            (explode_chunks(fresh.drop("batch_id"))
+             .withColumn("batch_id", F.lit(batch_id))
+             .write.mode("append").partitionBy("batch_id")
+             .format(fmt).save(self.chunks_path))
 
         manifest = docs_m.select(
             F.lit(run_id).alias("run_id"),
@@ -122,7 +219,9 @@ class ExtractionPipeline:
                    F.coalesce("failure_code", F.lit("DUPLICATE")))
             .otherwise(F.col("failure_code")).alias("failure_code"),
         )
-        manifest.write.mode("append").parquet(self.manifest_path)
+        staging = os.path.join(self.out_dir, "_staging", batch_id)
+        manifest.write.mode("overwrite").parquet(staging)
+        self._commit(staging, batch_id)
         if dedupe:
             from ..functions import normalized_text_hash_expr
             from ..operators.dedup import register_hashes

@@ -114,6 +114,9 @@ DOCS_FULL_SCHEMA = T.StructType(
 )
 
 # Per-partition lineage manifest (north_rule resume mechanism; FIXTURES §6).
+# `batch_id` is NOT in the data files — it is the commit-log partition
+# directory (manifest/batch_id=<token>/, plans/pipeline.py commit protocol)
+# surfaced as a partition column on read.
 MANIFEST_SCHEMA = T.StructType(
     [
         T.StructField("run_id", T.StringType(), False),
@@ -122,6 +125,7 @@ MANIFEST_SCHEMA = T.StructType(
         T.StructField("bytes_in", T.LongType(), False),
         T.StructField("bytes_out", T.LongType(), False),
         T.StructField("failure_code", T.StringType(), True),
+        T.StructField("batch_id", T.StringType(), True),
     ]
 )
 

@@ -42,6 +42,65 @@ def test_resume_no_double_processing(spark, tmp_path):
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
 
 
+def test_crash_between_sinks_and_manifest_commit(spark, tmp_path):
+    """r3 verdict #2: death AFTER the content-sink appends but BEFORE the
+    manifest commit must not duplicate rows — the orphan batch partitions
+    stay invisible to committed readers, the rerun re-extracts every url the
+    manifest never saw, and the committed output equals an uninterrupted
+    run EXACTLY."""
+    pages = synth_pages(spark, 60)
+
+    out = str(tmp_path / "crashy")
+    p = ExtractionPipeline(spark, out, partitions=4)
+
+    real_commit = p._commit
+
+    def dying_commit(staging, batch_id):  # crash at the worst moment
+        raise RuntimeError("simulated death before manifest commit")
+
+    p._commit = dying_commit
+    with pytest.raises(RuntimeError, match="simulated death"):
+        p.run(pages, run_id="r1", with_chunks=True)
+
+    # the crash left orphan content: raw sink has rows, committed view none
+    assert spark.read.parquet(p.docs_path).count() == 60
+    assert p.committed_batch_ids() == []
+    assert p.read_docs().count() == 0
+
+    # rerun (recovered process): manifest never saw the urls → full redo
+    p._commit = real_commit
+    r = p.run(pages, run_id="r1-retry", with_chunks=True)
+    assert r["docs_processed"] == 60
+
+    # committed readers see the retry batch ONLY — no duplicates anywhere
+    docs = p.read_docs()
+    assert docs.count() == 60
+    assert docs.select("url").distinct().count() == 60
+    chunks = p.read_chunks()
+    assert chunks.count() == chunks.select("chunk_id").distinct().count()
+
+    # committed output == an uninterrupted clean run, byte-for-byte
+    clean = ExtractionPipeline(spark, str(tmp_path / "clean"), partitions=4)
+    clean.run(pages, run_id="single", with_chunks=True)
+    cols = ["url", "doc_id", "extracted_text"]
+    a, b = docs.select(*cols), clean.read_docs().select(*cols)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    ca = p.read_chunks().select("chunk_id", "doc_id", "text")
+    cb = clean.read_chunks().select("chunk_id", "doc_id", "text")
+    assert ca.exceptAll(cb).count() == 0 and cb.exceptAll(ca).count() == 0
+
+    # the committed read prunes orphan partitions STATICALLY (no orphan data
+    # file is opened): PartitionFilters carries the batch_id IN-list
+    plan = p.read_docs()._jdf.queryExecution().executedPlan().toString()
+    assert "batch_id" in plan.split("PartitionFilters")[1].split("]")[0], plan
+
+    # vacuum reclaims the orphan batch dirs; committed rows untouched
+    removed = p.vacuum_uncommitted()
+    assert removed >= 3  # docs+blocks+chunks orphans (+ staging if present)
+    assert spark.read.parquet(p.docs_path).count() == 60
+    assert p.read_docs().count() == 60
+
+
 def test_manifest_summary_lineage(spark, tmp_path):
     pages = synth_pages(spark, 60)
     out = str(tmp_path / "lineage")
@@ -550,6 +609,54 @@ class TestRangeJoin:
                                           bin_width_sec=600,
                                           how="left").collect()}
         assert got == {1: 7, 2: None}, got
+
+    def test_fractional_end_crossing_bin_boundary(self, spark):
+        """Regression (r3 advice): a fractional EXCLUSIVE end whose fraction
+        crosses a bin boundary must still match ts values in the final
+        partial bin — floor((end-1)/w) dropped bin 1 for end=900.5, w=900
+        and silently lost ts=900.2."""
+        from rag_pdf_parser_spark.operators.rangejoin import range_join_binned
+
+        left = spark.createDataFrame(
+            [(1, "a", 900.2), (2, "a", 900.6)],
+            "event_id long, k string, ts double")
+        right = spark.createDataFrame(
+            [("a", 0.0, 900.5, 7)], "k string, s double, e double, tag int")
+        got = {r["event_id"]: r["tag"]
+               for r in range_join_binned(left, right, on="k", ts="ts",
+                                          start="s", end="e",
+                                          bin_width_sec=900,
+                                          how="left").collect()}
+        assert got == {1: 7, 2: None}, got
+
+    def test_integer_end_on_bin_boundary_stays_exclusive(self, spark):
+        """ceil(end/w)-1 must not ADD a bin either: end exactly on a bin
+        boundary is exclusive, so ts == end never matches."""
+        from rag_pdf_parser_spark.operators.rangejoin import range_join_binned
+
+        left = spark.createDataFrame(
+            [(1, "a", 1799), (2, "a", 1800)],
+            "event_id long, k string, ts long")
+        right = spark.createDataFrame(
+            [("a", 0, 1800, 7)], "k string, s long, e long, tag int")
+        got = {r["event_id"]: r["tag"]
+               for r in range_join_binned(left, right, on="k", ts="ts",
+                                          start="s", end="e",
+                                          bin_width_sec=900,
+                                          how="left").collect()}
+        assert got == {1: 7, 2: None}, got
+
+    def test_unsupported_how_raises(self, spark):
+        """'right'/'full' would emit unmatched right rows once per exploded
+        bin — must raise, not silently mis-count."""
+        import pytest
+
+        from rag_pdf_parser_spark.operators.rangejoin import range_join_binned
+
+        left, right = self._frames(spark)
+        with pytest.raises(ValueError, match="inner.*left"):
+            range_join_binned(left, right, on="k", ts="ts", start="s",
+                              end="e", how="right")
 
     def test_no_nested_loop_join(self, spark):
         """The whole point: the binned formulation must plan as hash/merge
