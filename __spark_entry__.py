@@ -237,6 +237,15 @@ def q_minhash_lsh_pairs(spark, sf_dir):
                                flavor="sha")
 
 
+def q_minhash_word_pairs(spark, sf_dir):
+    """Word-shingle MinHash+LSH (Lee et al. 2022-style word-n-gram config;
+    sha flavor so the DuckDB twin hashes identical strings): word 5-grams,
+    4 perms, 2 bands, over every 10th document."""
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 10 == 0)
+    return lsh_candidate_pairs(d, id_col="doc_id", n=5, num_perm=4, bands=2,
+                               flavor="sha", shingle="word")
+
+
 def q_jaccard_pairs(spark, sf_dir):
     """Exact n-gram Jaccard for all pairs of every 25th document."""
     d = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 25 == 0)
@@ -1083,6 +1092,9 @@ _EXTRA_KEYS = (
     "token_counts",
     "customers_with_orders",
     "supplier_distinct_parts",
+    # word-shingle MinHash flavor (Lee-style config) — full DuckDB twin in
+    # the pytest mini-driver; the driver registry is at its 50-row cap
+    "minhash_word_pairs",
 )
 
 
@@ -1117,6 +1129,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_normalize": q_url_normalize,
         "doc_stats_by_lang": q_doc_stats_by_lang,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "minhash_word_pairs": q_minhash_word_pairs,
         "jaccard_pairs": q_jaccard_pairs,
         "simhash16": q_simhash16,
         "knn_cosine": q_knn_cosine,
@@ -1351,6 +1364,39 @@ FROM buckets l JOIN buckets r
   ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id
 """
 
+_MINHASH_WORD_SQL = f"""
+WITH norm AS (
+  SELECT doc_id, {_NORM} AS t FROM documents WHERE doc_id % 10 = 0
+),
+toks AS (
+  SELECT doc_id,
+         list_filter(string_split(t, ' '), w -> length(w) > 0) AS tk
+  FROM norm
+),
+grams AS (
+  SELECT doc_id, CASE WHEN len(gl) = 0 THEN [''] ELSE gl END AS gl FROM (
+    SELECT doc_id,
+           list_transform(range(1, greatest(len(tk) - 4, 0) + 1),
+                          i -> array_to_string(list_slice(tk, i, i + 4), ' ')) AS gl
+    FROM toks)
+),
+g AS (SELECT doc_id, unnest(gl) AS g FROM grams),
+sig AS (
+  SELECT doc_id,
+         min(sha256(g || '#0')) AS mh0, min(sha256(g || '#1')) AS mh1,
+         min(sha256(g || '#2')) AS mh2, min(sha256(g || '#3')) AS mh3
+  FROM g GROUP BY doc_id
+),
+buckets AS (
+  SELECT doc_id, 0 AS band, sha256(mh0 || '|' || mh1) AS bucket FROM sig
+  UNION ALL
+  SELECT doc_id, 1 AS band, sha256(mh2 || '|' || mh3) AS bucket FROM sig
+)
+SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+FROM buckets l JOIN buckets r
+  ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id
+"""
+
 _JACCARD_SQL = f"""
 WITH norm AS (
   SELECT doc_id, {_NORM} AS t FROM documents WHERE doc_id % 25 = 0
@@ -1476,6 +1522,7 @@ def _oracle_sql_all() -> dict[str, str]:
             FROM documents GROUP BY lang
         """,
         "minhash_lsh_pairs": _MINHASH_SQL,
+        "minhash_word_pairs": _MINHASH_WORD_SQL,
         "jaccard_pairs": _JACCARD_SQL,
         "simhash16": _simhash16_sql(),
         "knn_cosine": _KNN_SQL,

@@ -176,6 +176,27 @@ def run_bench() -> dict:
               docs_t.select("doc_id", "text"), id_col="doc_id")
           .agg(F.sum("n_lines_dropped")).collect())
 
+    # round-4 operators: decontamination string vs int64-hash formulations
+    # (same flags — the hash path is the corpus-scale shape) and the
+    # word-shingle MinHash config
+    from rag_pdf_parser_spark.operators.dedup import (
+        decontaminate_flags,
+        token_ngrams_expr,
+    )
+
+    bench_grams = docs_t.where(F.col("doc_id") % 97 == 0).select(
+        F.explode(token_ngrams_expr(F.col("text"), 13)).alias("gram")
+    ).limit(2000).localCheckpoint(eager=True)
+    for key, hashed in (("decontaminate_str", False),
+                        ("decontaminate_xx", True)):
+        timed(key,
+              lambda h=hashed: decontaminate_flags(
+                  docs_t.select("doc_id", "text"), bench_grams, hashed=h)
+              .agg(F.sum(F.col("contaminated").cast("int"))).collect())
+    timed("minhash_word_xx",
+          lambda: lsh_candidate_pairs(docs_t, id_col="doc_id",
+                                      shingle="word").count())
+
     pages.unpersist()
     raw_pages.unpersist()
     spark.stop()

@@ -80,13 +80,23 @@ def dedup_stats(seen: DataFrame) -> DataFrame:
 # --- MinHash + LSH -------------------------------------------------------------
 
 def minhash_signature(df: DataFrame, text_col: str = "text", n: int = 5,
-                      num_perm: int = 8, flavor: str = "xx") -> DataFrame:
+                      num_perm: int = 8, flavor: str = "xx",
+                      shingle: str = "char") -> DataFrame:
     """Signature table: non-text columns of `df` + mh0..mh{k-1} minhash
-    components from char n-gram shingles (the text column is consumed).
+    components from n-gram shingles (the text column is consumed).
 
     flavor='xx': xxhash64(shingle, seed=j) — JVM codegen, fast path.
     flavor='sha': lexicographic min of sha256(shingle||'#'||j) — portable to
     the DuckDB oracle (same strings both engines).
+
+    shingle='char' (default): character n-grams of the normalized text —
+    the robust-to-tokenization config. shingle='word': token n-grams
+    (whitespace words of the normalized text) — the published
+    training-data dedup recipe shape (Lee et al. 2022 "Deduplicating
+    Training Data Makes Language Models Better" / RefinedWeb use word
+    n-gram MinHash). A doc with no tokens contributes one empty-string
+    shingle, mirroring the char path's greatest(len,1) guard, so every doc
+    keeps a signature row.
     """
     # Shape notes (measured at sf0.1, 32 cores):
     # - explode the INDEX SEQUENCE and take substrings AFTER the Generate;
@@ -99,13 +109,38 @@ def minhash_signature(df: DataFrame, text_col: str = "text", n: int = 5,
     #   collapses each doc to ONE k-wide row per task before the shuffle
     #   (shuffle volume = ids x k, independent of text size). Hashing is
     #   nearly free next to the Generate.
+    if shingle not in ("char", "word"):
+        raise ValueError(f"shingle must be 'char' or 'word', got {shingle!r}")
     id_cols = [c for c in df.columns if c != text_col] or [text_col]
     pre = df.select(*id_cols,
                     normalized_text_expr(F.col(text_col)).alias("__t"))
-    idx = F.sequence(F.lit(1), F.greatest(F.length("__t") - (n - 1), F.lit(1)))
-    sh = pre.select(*id_cols, "__t", F.explode(idx).alias("__i")).select(
-        *id_cols, F.substring(F.col("__t"), F.col("__i"), F.lit(n)).alias("__g")
-    )
+    if shingle == "char":
+        idx = F.sequence(F.lit(1),
+                         F.greatest(F.length("__t") - (n - 1), F.lit(1)))
+        sh = pre.select(*id_cols, "__t", F.explode(idx).alias("__i")).select(
+            *id_cols,
+            F.substring(F.col("__t"), F.col("__i"), F.lit(n)).alias("__g")
+        )
+    else:
+        # word shingles have no substring-after-Generate equivalent (no O(1)
+        # addressing of the i-th token), so the gram array IS materialized —
+        # built by the zip-shift fold (O(tokens), no HOF O(n²)). For the xx
+        # flavor the 37×-Generate-copy cost is dodged the same way as hashed
+        # decontamination: hash each gram to int64 IN the row projection and
+        # explode 8-byte longs, never the gram strings. The sha flavor
+        # (oracle config, bounded inputs) explodes the strings.
+        grams = token_ngrams_expr(F.col("__t"), n, pre_normalized=True)
+        grams = F.when(F.size(grams) > 0, grams) \
+            .otherwise(F.array(F.lit("")))
+        if flavor == "xx":
+            sh = pre.select(
+                *id_cols,
+                F.explode(F.transform(grams, lambda g: F.xxhash64(g))).alias("__gh"),
+            )
+            aggs = [F.min(F.xxhash64(F.col("__gh"), F.lit(j))).alias(f"mh{j}")
+                    for j in range(num_perm)]
+            return sh.groupBy(*id_cols).agg(*aggs)
+        sh = pre.select(*id_cols, F.explode(grams).alias("__g"))
     if flavor == "xx":
         aggs = [F.min(F.xxhash64(F.col("__g"), F.lit(j))).alias(f"mh{j}")
                 for j in range(num_perm)]
@@ -119,13 +154,14 @@ def minhash_signature(df: DataFrame, text_col: str = "text", n: int = 5,
 
 def lsh_buckets(df: DataFrame, id_col: str = "doc_id",
                 text_col: str = "text", n: int = 5, num_perm: int = 8,
-                bands: int = 4, flavor: str = "xx") -> DataFrame:
+                bands: int = 4, flavor: str = "xx",
+                shingle: str = "char") -> DataFrame:
     """(id, band, bucket) rows — one per band per doc; the shared candidate
     index for batch pair generation (`lsh_candidate_pairs`) and the
     streaming seen-store (`streaming.minhash`)."""
     rows = num_perm // bands
     sig = minhash_signature(df.select(id_col, text_col), text_col, n,
-                            num_perm, flavor)
+                            num_perm, flavor, shingle)
     band_cols = []
     for b in range(bands):
         cols = [F.col(f"mh{j}").cast("string")
@@ -142,7 +178,8 @@ def lsh_buckets(df: DataFrame, id_col: str = "doc_id",
 def lsh_candidate_pairs(df: DataFrame, id_col: str = "doc_id",
                         text_col: str = "text", n: int = 5, num_perm: int = 8,
                         bands: int = 4, flavor: str = "xx",
-                        max_bucket: int | None = None) -> DataFrame:
+                        max_bucket: int | None = None,
+                        shingle: str = "char") -> DataFrame:
     """MinHash-LSH near-dup candidates: band the signature, hash each band,
     self-join rows sharing any band bucket → distinct (a < b) pairs.
 
@@ -154,7 +191,8 @@ def lsh_candidate_pairs(df: DataFrame, id_col: str = "doc_id",
     lane catches them; this is the standard guard in large-scale MinHash
     dedup pipelines). None = uncapped (exact semantics, the oracle-checked
     configuration)."""
-    buckets = lsh_buckets(df, id_col, text_col, n, num_perm, bands, flavor)
+    buckets = lsh_buckets(df, id_col, text_col, n, num_perm, bands, flavor,
+                          shingle)
     if max_bucket is not None:
         sizes = buckets.groupBy("band", "bucket").agg(
             F.count("*").alias("__bsz"))
@@ -413,16 +451,20 @@ def dedup_keep_canonical(docs: DataFrame, pairs: DataFrame,
     return docs.join(drop, id_col, "left_anti")
 
 
-def token_ngrams_expr(text, n: int = 13):
+def token_ngrams_expr(text, n: int = 13, pre_normalized: bool = False):
     """Array of token n-grams of the normalized text, built by FOLDING
     zip_with over n-1 shifted slices — every reference to the token array
     is top-level (constant count, O(tokens) each); building grams with
     `transform(sequence, i -> slice(toks, i, n))`-style indexing instead
     re-evaluates the derived array per element (the HOF O(n²) trap, see
-    functions.gopher_features_expr)."""
+    functions.gopher_features_expr).
+
+    `pre_normalized=True` skips the lower+ws-collapse when the caller
+    already normalized (avoids double regex work in fused pipelines)."""
     from ..functions import normalized_text_expr
 
-    toks = F.filter(F.split(normalized_text_expr(text), " "),
+    norm = text if pre_normalized else normalized_text_expr(text)
+    toks = F.filter(F.split(norm, " "),
                     lambda t: F.length(t) > 0)
     m = F.size(toks)
     cur = toks
@@ -439,7 +481,7 @@ def token_ngrams_expr(text, n: int = 13):
 
 def decontaminate_flags(docs: DataFrame, benchmark_grams: DataFrame,
                         id_col: str = "doc_id", text_col: str = "text",
-                        n: int = 13) -> DataFrame:
+                        n: int = 13, hashed: bool = False) -> DataFrame:
     """Eval-set DECONTAMINATION (the training-data hygiene op: drop
     documents that contain any n-gram from the benchmark/eval corpus —
     cf. GPT-3 §C / PaLM app. training-set filtering): per-doc token
@@ -447,17 +489,41 @@ def decontaminate_flags(docs: DataFrame, benchmark_grams: DataFrame,
     n_hits + contaminated flag.
 
     `benchmark_grams` must have a `gram` string column (small — broadcast).
-    Scale note: at corpus scale hash grams to int64 on both sides and
-    explode the hash array (8-byte Generate rows), not the strings — the
-    string explode here is the bounded-correctness formulation."""
-    grams = docs.select(F.col(id_col).alias("__id"),
-                        F.explode_outer(token_ngrams_expr(F.col(text_col), n))
-                        .alias("gram"))
-    hits = (
-        grams.join(F.broadcast(benchmark_grams.select("gram").distinct()),
-                   "gram")
-        .groupBy("__id").agg(F.count("*").alias("n_hits"))
-    )
+
+    `hashed=False`: explode the gram STRINGS and equi-join — the
+    bounded-correctness formulation (exact, oracle-checked) whose Generate
+    copies ~13× the text volume per doc.
+    `hashed=True`: the corpus-scale formulation — xxhash64 each gram INSIDE
+    the row projection (the gram array never leaves the row), explode the
+    resulting int64 array (8-byte Generate rows, ~10× less Generate
+    traffic than the strings), broadcast-join on longs. Identical flags up
+    to 64-bit hash collisions (verified flag-identical over the sf0.01
+    corpus in tests/test_dedup_similarity.py; measured 1.4× faster at
+    sf0.1 — 6.86 → 4.91 s, BENCH.md — with the gap growing in gram
+    length: Generate traffic is 8 bytes/gram vs the ~80-byte 13-gram
+    string).
+    """
+    if hashed:
+        gh = F.transform(token_ngrams_expr(F.col(text_col), n),
+                         lambda g: F.xxhash64(g))
+        grams = docs.select(F.col(id_col).alias("__id"),
+                            F.explode_outer(gh).alias("__gh"))
+        bench = (benchmark_grams.select(F.xxhash64("gram").alias("__gh"))
+                 .distinct())
+        hits = (
+            grams.join(F.broadcast(bench), "__gh")
+            .groupBy("__id").agg(F.count("*").alias("n_hits"))
+        )
+    else:
+        grams = docs.select(
+            F.col(id_col).alias("__id"),
+            F.explode_outer(token_ngrams_expr(F.col(text_col), n))
+            .alias("gram"))
+        hits = (
+            grams.join(F.broadcast(benchmark_grams.select("gram").distinct()),
+                       "gram")
+            .groupBy("__id").agg(F.count("*").alias("n_hits"))
+        )
     return (
         docs.join(hits, docs[id_col] == hits["__id"], "left").drop("__id")
         .withColumn("n_hits",

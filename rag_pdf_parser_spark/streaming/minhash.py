@@ -1,46 +1,84 @@
 """Streaming near-dup gate: incoming documents are checked against a
 PERSISTED MinHash-LSH bucket store and only novel documents pass.
 
-The 10^12-row crawl shape: the seen-store is an append-only (band, bucket)
-parquet table (bucketed/partitioned by bucket hash at real scale); each
-micro-batch
+The 10^12-row crawl shape: the seen-store is an append-only parquet table
+PARTITIONED by ``bp = pmod(xxhash64(band, bucket), STORE_PARTITIONS)`` —
+the same hash-bucketed layout an Iceberg table would use. Each micro-batch
 
 1. computes band buckets for its documents (`operators.dedup.lsh_buckets` —
-   the same index the batch pair-generator uses),
-2. drops any document colliding with the store on ANY band (LSH candidate
+   the same index the batch pair-generator uses) and their bp values,
+2. reads the store PRUNED to the batch's bp partitions (an isin over the
+   partition column → static partition pruning; a micro-batch of B docs
+   touches at most min(B·bands, STORE_PARTITIONS) partitions, NOT the whole
+   monotonically-growing store — the r3 full-scan-per-micro-batch fix),
+3. drops any document colliding with the store on ANY band (LSH candidate
    ⇒ near-duplicate of something already accepted; threshold tuning =
-   bands/rows, exactly as in batch),
-3. also dedups WITHIN the batch (keep the smallest id per bucket chain),
+   bands/rows, exactly as in batch), and dedups WITHIN the batch
+   (keep the smallest id per bucket chain),
 4. writes the surviving documents to the output sink FIRST, then appends
    their buckets to the store (retry-safe order — see process()).
 
+Duplicate (band, bucket) rows accumulate across appends (they change no
+join result — the lookup is a semi-join); `plans.maintenance.compact_table`
+is the MERGE-equivalent job that rewrites the store deduplicated, keeping
+the partitioned layout.
+
 foreachBatch gives at-least-once semantics on retry: re-appending a
-surviving doc's buckets is harmless (duplicate (id, band, bucket) rows
-change no join result), and the output sink dedups by id downstream —
-the same idempotence argument as the batch manifest resume.
+surviving doc's buckets is harmless, and the output sink dedups by id
+downstream — the same idempotence argument as the batch manifest resume.
 """
 
 from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.dedup import lsh_buckets
 
+#: store partition count — at 10^12 scale raise this so each partition's
+#: bucket file set stays executor-sized; the lookup cost per micro-batch is
+#: bounded by the batch's own bucket count either way.
+STORE_PARTITIONS = 64
+
+
+def store_partition_expr(band: Column, bucket: Column,
+                         n_parts: int = STORE_PARTITIONS) -> Column:
+    """bp = pmod(xxhash64(band, bucket), n_parts) — the store's partition
+    key. Hashing (band, bucket) jointly spreads every band's buckets over
+    all partitions (band alone would give `bands` hot partitions)."""
+    return F.pmod(F.xxhash64(band, bucket), F.lit(n_parts)).cast("int")
+
+
+def read_store_pruned(spark: SparkSession, seen_dir: str,
+                      bps: list[int]) -> DataFrame:
+    """The store lookup, pruned to the given bp partitions. `bps` is
+    control-plane metadata: at most STORE_PARTITIONS ints, collected from
+    the (checkpointed, small) batch bucket table — never row data. The
+    literal isin over the partition column becomes a static PartitionFilter
+    (asserted in tests): orphan partitions' files are never opened."""
+    return spark.read.parquet(seen_dir).where(
+        F.col("bp").isin([int(b) for b in bps]))
+
 
 def novel_against_store(batch: DataFrame, seen: DataFrame | None,
                         id_col: str = "doc_id",
-                        text_col: str = "text") -> tuple[DataFrame, DataFrame]:
+                        text_col: str = "text",
+                        buckets: DataFrame | None = None,
+                        ) -> tuple[DataFrame, DataFrame]:
     """(novel_docs, their_buckets): docs not LSH-colliding with `seen` nor
-    with an earlier (smaller-id) doc in the same batch.
+    with an earlier (smaller-id) doc in the same batch. `buckets` lets the
+    caller pass a precomputed (already checkpointed) bucket table so the
+    partition-pruning bp collection and the gate share one computation.
 
     The bucket table is localCheckpoint'ed (not cached): it is read by both
     returned frames AND the caller appends to the store the seen-join
     reads — the same invalidation hazard as plans/pipeline.py; a checkpoint
     is immune and leaves nothing to unpersist per micro-batch."""
-    buckets = lsh_buckets(batch, id_col, text_col).localCheckpoint(eager=True)
+    if buckets is None:
+        buckets = lsh_buckets(batch, id_col, text_col) \
+            .localCheckpoint(eager=True)
     hit = buckets.join(seen, ["band", "bucket"], "left_semi") if seen is not None \
         else buckets.limit(0)
     dup_ids = hit.select("id").distinct()
@@ -66,7 +104,8 @@ def novel_against_store(batch: DataFrame, seen: DataFrame | None,
 def run_streaming_dedup(spark: SparkSession, src_dir: str, schema,
                         out_dir: str, seen_dir: str, checkpoint_dir: str,
                         id_col: str = "doc_id", text_col: str = "text",
-                        max_files_per_trigger: int = 1) -> None:
+                        max_files_per_trigger: int = 1,
+                        store_partitions: int = STORE_PARTITIONS) -> None:
     """Drain available document files through the near-dup gate
     (availableNow), maintaining the bucket store across micro-batches AND
     across restarts (the store itself is the persistent state — no
@@ -79,8 +118,17 @@ def run_streaming_dedup(spark: SparkSession, src_dir: str, schema,
 
     def process(batch: DataFrame, _bid: int) -> None:
         sp = batch.sparkSession
-        seen = sp.read.parquet(seen_dir) if os.path.exists(seen_dir) else None
-        novel, nb = novel_against_store(batch, seen, id_col, text_col)
+        buckets = (
+            lsh_buckets(batch, id_col, text_col)
+            .withColumn("bp", store_partition_expr(
+                F.col("band"), F.col("bucket"), store_partitions))
+            .localCheckpoint(eager=True)
+        )
+        bps = [r["bp"] for r in buckets.select("bp").distinct().collect()]
+        seen = (read_store_pruned(sp, seen_dir, bps)
+                if os.path.exists(seen_dir) else None)
+        novel, nb = novel_against_store(batch, seen, id_col, text_col,
+                                        buckets=buckets)
         # OUTPUT FIRST, store second: if the job dies between the writes, a
         # retry re-runs the batch against a store that does NOT yet contain
         # its own buckets, so the docs are re-emitted (at-least-once
@@ -88,7 +136,8 @@ def run_streaming_dedup(spark: SparkSession, src_dir: str, schema,
         # order would make a retried batch LSH-collide with itself and
         # silently drop every document.
         novel.write.mode("append").parquet(out_dir)
-        nb.select("band", "bucket").write.mode("append").parquet(seen_dir)
+        (nb.select("band", "bucket", "bp")
+         .write.mode("append").partitionBy("bp").parquet(seen_dir))
 
     q = (
         stream.writeStream.foreachBatch(process)

@@ -291,3 +291,70 @@ def test_decontaminate_respects_n(spark):
     grams = spark.createDataFrame([("a b c",)], "text string").select(
         token_ngrams_expr(F.col("text"), 2).alias("g")).collect()[0]["g"]
     assert grams == ["a b", "b c"], grams
+
+
+def test_decontaminate_hashed_path_matches_string_path(spark):
+    """r3 verdict #4: the int64-hashed corpus-scale formulation must produce
+    the same (n_hits, contaminated) as the exact string formulation —
+    verified over the sf0.01 documents table with a benchmark set built
+    from real document grams (so both hit and miss cases occur)."""
+    from rag_pdf_parser_spark.operators.dedup import (
+        decontaminate_flags,
+        token_ngrams_expr,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet") \
+        .select("doc_id", "text")
+    # benchmark: 13-grams of every 7th doc + some synthetic never-match grams
+    bench = docs.where(F.col("doc_id") % 7 == 0).select(
+        F.explode(token_ngrams_expr(F.col("text"), 13)).alias("gram")
+    ).limit(200).union(spark.createDataFrame(
+        [(f"no such gram sequence {i} exists anywhere",) for i in range(5)],
+        "gram string"))
+    bench = bench.localCheckpoint(eager=True)  # freeze the limit() sample
+
+    cols = ["doc_id", "n_hits", "contaminated"]
+    a = decontaminate_flags(docs, bench, hashed=False).select(*cols)
+    b = decontaminate_flags(docs, bench, hashed=True).select(*cols)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    assert a.where("contaminated").count() > 0  # the test actually bites
+
+
+def test_minhash_word_shingles_lee_config(spark, docs_df):
+    """Word n-gram MinHash (Lee et al. 2022-style config: word 5-grams) —
+    the family of BASE near-dups must be recalled as candidate pairs, and
+    unique docs must not pair with the family, in BOTH hash flavors."""
+    fam = [f"d{i:02d}" for i in range(6)]
+    for flavor in ("xx", "sha"):
+        pairs = {(r["id_a"], r["id_b"])
+                 for r in lsh_candidate_pairs(
+                     docs_df, n=5, num_perm=8, bands=4, flavor=flavor,
+                     shingle="word").collect()}
+        found = sum((a, b) in pairs
+                    for i, a in enumerate(fam) for b in fam[i + 1:])
+        assert found >= 12, (flavor, sorted(pairs))
+        for a, b in pairs:
+            assert a in fam and b in fam, (flavor, a, b)
+
+
+def test_minhash_word_signature_properties(spark):
+    """Word-shingle signatures: identical token streams (independent of
+    whitespace/case) share signatures; empty docs keep a signature row;
+    invalid shingle kind raises."""
+    from rag_pdf_parser_spark.operators.dedup import minhash_signature
+
+    docs = spark.createDataFrame(
+        [("a", "Alpha  beta\tGAMMA delta epsilon zeta"),
+         ("b", "alpha beta gamma delta epsilon zeta"),
+         ("c", "entirely other words live in this one"),
+         ("d", "")],
+        "doc_id string, text string")
+    for flavor in ("xx", "sha"):
+        sig = {r["doc_id"]: tuple(r[f"mh{j}"] for j in range(4))
+               for r in minhash_signature(docs, num_perm=4, flavor=flavor,
+                                          n=3, shingle="word").collect()}
+        assert len(sig) == 4  # empty doc still present
+        assert sig["a"] == sig["b"], flavor
+        assert sig["a"] != sig["c"], flavor
+    with pytest.raises(ValueError, match="char.*word"):
+        minhash_signature(docs, shingle="sentence").collect()

@@ -557,6 +557,100 @@ def test_streaming_minhash_dedup_gate(spark, tmp_path):
     assert kept2 == [1, 2, 3, 5, 7], kept2
 
 
+def test_streaming_store_is_partitioned_and_pruned(spark, tmp_path):
+    """The r3 scale-killer fix: the LSH seen store is bp-partitioned and a
+    micro-batch's lookup reads ONLY its bp partitions (static partition
+    pruning), never the whole monotonically-growing store."""
+    from rag_pdf_parser_spark.streaming.minhash import (
+        STORE_PARTITIONS,
+        read_store_pruned,
+        run_streaming_dedup,
+        store_partition_expr,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    seen = str(tmp_path / "seen")
+    texts = [(i, f"document number {i} with some distinct words {i * 7}")
+             for i in range(40)]
+    spark.createDataFrame(texts, "doc_id long, text string") \
+        .coalesce(1).write.parquet(str(src / "f1"))
+    sch = spark.read.parquet(str(src / "f1")).schema
+    import glob
+    import shutil
+    for i, f in enumerate(sorted(glob.glob(str(src / "f1" / "*.parquet")))):
+        shutil.copy(f, src / f"part{i}.parquet")
+    run_streaming_dedup(spark, str(src) + "/part*.parquet", sch,
+                        str(tmp_path / "out"), seen, str(tmp_path / "ck"))
+
+    # layout: bp=<int> partition dirs, values in [0, STORE_PARTITIONS)
+    bp_dirs = [d for d in os.listdir(seen) if d.startswith("bp=")]
+    assert len(bp_dirs) > 1, bp_dirs
+    assert all(0 <= int(d.split("=")[1]) < STORE_PARTITIONS for d in bp_dirs)
+
+    # pruned read: partition filter is STATIC (PartitionFilters has the
+    # IN-list) and partitionsRead < total partitions
+    store = spark.read.parquet(seen)
+    some_bps = sorted({int(d.split("=")[1]) for d in bp_dirs})[:2]
+    pruned = read_store_pruned(spark, seen, some_bps)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    pf = plan.split("PartitionFilters: [")[1].split("]")[0]
+    assert "bp" in pf, plan
+    got_rows = pruned.count()
+    expect = store.where(F.col("bp").isin(some_bps)).count()
+    assert got_rows == expect and got_rows < store.count()
+
+    # the partition expr is deterministic and stable (store invariant)
+    df = spark.createDataFrame([(0, "abc")], "band int, bucket string")
+    a = df.select(store_partition_expr(F.col("band"), F.col("bucket"))
+                  .alias("bp")).collect()[0]["bp"]
+    assert 0 <= a < STORE_PARTITIONS
+
+
+def test_compaction_merge_equivalent(spark, tmp_path):
+    """plans.maintenance: append-duplicated stores are rewritten to one row
+    per key with the partition layout preserved; the swap is atomic with
+    crash recovery (trash-dir rename-back)."""
+    from rag_pdf_parser_spark.plans.maintenance import (
+        compact_lsh_store,
+        compact_seen_hashes,
+        recover_store,
+    )
+    from rag_pdf_parser_spark.streaming.minhash import store_partition_expr
+
+    # seen_hashes: triple-append the same rows
+    seen_path = str(tmp_path / "seen_hashes")
+    rows = [(f"h{i}", "normalized_text", "r1") for i in range(10)]
+    df = spark.createDataFrame(rows, "hash string, kind string, source string")
+    for _ in range(3):
+        df.write.mode("append").parquet(seen_path)
+    stats = compact_seen_hashes(spark, seen_path)
+    assert stats["rows_before"] == 30 and stats["rows_after"] == 10, stats
+    assert stats["files_after"] <= stats["files_before"]
+    got = spark.read.parquet(seen_path)
+    assert got.count() == 10 and set(got.columns) == {"hash", "kind", "source"}
+
+    # LSH store: duplicate bucket rows, bp layout must survive compaction
+    lsh_path = str(tmp_path / "lsh")
+    b = spark.createDataFrame(
+        [(i % 4, f"bucket{i % 6}") for i in range(24)],
+        "band int, bucket string").withColumn(
+        "bp", store_partition_expr(F.col("band"), F.col("bucket")))
+    b.write.mode("append").partitionBy("bp").parquet(lsh_path)
+    b.write.mode("append").partitionBy("bp").parquet(lsh_path)
+    stats = compact_lsh_store(spark, lsh_path)
+    # (i%4, bucket{i%6}) cycles with period 12 → 12 distinct keys of 48 rows
+    assert stats["rows_before"] == 48 and stats["rows_after"] == 12, stats
+    assert any(d.startswith("bp=") for d in os.listdir(lsh_path))
+
+    # crash recovery: simulate death between the two swap renames
+    import shutil as sh
+    sh.move(seen_path, seen_path + ".__compact_trash")
+    assert recover_store(seen_path) is True
+    assert spark.read.parquet(seen_path).count() == 10
+    assert recover_store(seen_path) is False  # idempotent
+
+
 class TestRangeJoin:
     def _frames(self, spark):
         left = spark.createDataFrame(
