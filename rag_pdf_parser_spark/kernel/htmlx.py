@@ -250,6 +250,18 @@ _CDATA_CLOSE = {
 }
 _COMMENT_CLOSE = re.compile(r"--\s*>")
 
+# Fast common-case start tag: simple name, space-separated double-quoted
+# attrs with no entities/brackets, optional '/>'. A strict SUBSET of what
+# the stdlib grammar accepts with UNAMBIGUOUS identical semantics — one
+# regex replaces the locatestarttagend/tagfind/attrfind triple-pass for
+# ~95% of real-world tags; anything it doesn't match falls through to the
+# exact stdlib-mirror path below (NOT a bailout).
+_SIMPLE_TAG = re.compile(
+    r'([a-zA-Z][a-zA-Z0-9]*)'
+    r'((?:\s+[a-zA-Z_:][-a-zA-Z0-9_:.]*="[^"&<>]*")*)'
+    r'\s*(/?)>')
+_SIMPLE_ATTR = re.compile(r'([a-zA-Z_:][-a-zA-Z0-9_:.]*)="([^"]*)"')
+
 
 def _fast_tree(s: str) -> _Node:
     """Single-pass tokenizer over the whole string — the hot path.
@@ -268,6 +280,8 @@ def _fast_tree(s: str) -> _Node:
     stack = [root]
     i, n = 0, len(s)
     sfind = s.find
+    simple_match = _SIMPLE_TAG.match
+    simple_attrs = _SIMPLE_ATTR.findall
     loc_match = locatestarttagend_tolerant.match
     tag_match = tagfind_tolerant.match
     attr_match = attrfind_tolerant.match
@@ -288,43 +302,54 @@ def _fast_tree(s: str) -> _Node:
         # before a non-ASCII letter ('<é', '<中') is DATA, and str.isalpha()
         # would wrongly enter the tag branch (then crash on a None match)
         if "a" <= c <= "z" or "A" <= c <= "Z":
-            m = loc_match(s, lt)
-            if m is None:
-                raise _FastBailout
-            j = m.end()
-            if s.startswith(">", j):
-                endpos = j + 1
-            elif s.startswith("/>", j):
-                endpos = j + 2
+            sm = simple_match(s, lt + 1)
+            if sm is not None:
+                tag = sm.group(1).lower()
+                a_str = sm.group(2)
+                attrs: dict = (
+                    {k.lower(): v for k, v in simple_attrs(a_str)}
+                    if a_str else {}
+                )
+                selfclose = sm.group(3) == "/"
+                i = sm.end()
             else:
-                raise _FastBailout  # incomplete/odd start tag → stdlib path
-            tagm = tag_match(s, lt + 1)
-            tag = tagm.group(1).lower()
-            attrs: dict = {}
-            k = tagm.end()
-            while k < endpos:
-                am = attr_match(s, k)
-                if not am:
-                    break
-                name, rest, val = am.group(1, 2, 3)
-                if not rest:
-                    val = None
+                m = loc_match(s, lt)
+                if m is None:
+                    raise _FastBailout
+                j = m.end()
+                if s.startswith(">", j):
+                    endpos = j + 1
+                elif s.startswith("/>", j):
+                    endpos = j + 2
                 else:
-                    if val[:1] == "'" == val[-1:] or val[:1] == '"' == val[-1:]:
-                        val = val[1:-1]
-                    if "&" in val:
-                        val = unescape(val)
-                attrs[name.lower()] = val
-                k = am.end()
-            tail = s[k:endpos].strip()
-            if tail not in (">", "/>"):
-                # stdlib parse_starttag: junk between attrs and '>' → the
-                # whole tag text is data (raw, no unescape)
-                stack[-1].children.append(s[lt:endpos])
+                    raise _FastBailout  # incomplete/odd start tag → stdlib
+                tagm = tag_match(s, lt + 1)
+                tag = tagm.group(1).lower()
+                attrs = {}
+                k = tagm.end()
+                while k < endpos:
+                    am = attr_match(s, k)
+                    if not am:
+                        break
+                    name, rest, val = am.group(1, 2, 3)
+                    if not rest:
+                        val = None
+                    else:
+                        if val[:1] == "'" == val[-1:] or val[:1] == '"' == val[-1:]:
+                            val = val[1:-1]
+                        if "&" in val:
+                            val = unescape(val)
+                    attrs[name.lower()] = val
+                    k = am.end()
+                tail = s[k:endpos].strip()
+                if tail not in (">", "/>"):
+                    # stdlib parse_starttag: junk between attrs and '>' →
+                    # the whole tag text is data (raw, no unescape)
+                    stack[-1].children.append(s[lt:endpos])
+                    i = endpos
+                    continue
+                selfclose = tail == "/>"
                 i = endpos
-                continue
-            selfclose = tail == "/>"
-            i = endpos
             node = _Node(tag, attrs)
             stack[-1].children.append(node)
             if not selfclose and tag not in VOID_TAGS:
@@ -418,10 +443,13 @@ def _table_rows(table: _Node) -> list[list[str]]:
     return rows
 
 
-def table_markdown(table: _Node) -> str:
+def table_markdown(table: _Node, rows: list[list[str]] | None = None) -> str:
     """Markdown table: header row + --- separator, rows padded to header
-    width (reference writer.py:337-395 behavior)."""
-    rows = _table_rows(table)
+    width (reference writer.py:337-395 behavior). `rows` lets the caller
+    pass precomputed _table_rows (the block path needs them three ways —
+    text, markdown, dims — and the row walk is ~10% of kernel time)."""
+    if rows is None:
+        rows = _table_rows(table)
     if not rows:
         return ""
     width = len(rows[0])
@@ -434,10 +462,11 @@ def table_markdown(table: _Node) -> str:
     return "\n".join(lines)
 
 
-def table_text(table: _Node) -> str:
+def table_text(table: _Node, rows: list[list[str]] | None = None) -> str:
     """Plain-text table: cells joined ' | ', one line per row
     (/root/reference/src/layout/qwen_parser.py:525-533 semantics)."""
-    rows = _table_rows(table)
+    if rows is None:
+        rows = _table_rows(table)
     return "\n".join(" | ".join(r) for r in rows)
 
 
@@ -517,9 +546,9 @@ def _block_from(node: _Node, page: int) -> Optional[dict]:
         text = node.text()
     elif tag == "table":
         btype = "table"
-        text = table_text(node)
-        extra["table_md"] = table_markdown(node)
         rows = _table_rows(node)
+        text = table_text(node, rows)
+        extra["table_md"] = table_markdown(node, rows)
         extra["dims"] = (len(rows), len(rows[0]) if rows else 0)
     elif tag == "figure":
         img = node.first("img")

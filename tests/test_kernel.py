@@ -458,6 +458,14 @@ class TestFastTokenizer:
             "<p>prix <\u00e9co> reduced</p>", "<\u4e2d>x</\u4e2d>",
             # stdlib comment close is '--\\s*>' not the literal '-->'
             "<p>a<!-- c -- >tail--></p>",
+            # r4 simple-tag fast-regex boundaries: it must accept ONLY the
+            # unambiguous subset and defer the rest to the mirror path
+            '<p class="a">x</p>', '<p  class="a"  >x</p>',
+            '<a href="x&amp;y">z</a>', '<p class="a"b="c">x</p>',
+            '<p / >x', '<p/>x', '<p class="">x</p>', '<p CLASS="A">x</p>',
+            '<x-y a="1">t</x-y>', '<p a="<">x</p>',
+            '<p data-x:y.z="1">q</p>', '<img src="u" alt="a"/>',
+            '<p ="v">x</p>', '<p a="1" a="2">x</p>', '<p a="1"',
         ]
         for s in samples:
             self._check(s)
