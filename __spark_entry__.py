@@ -215,6 +215,31 @@ def q_url_normalize(spark, sf_dir):
     return d.select("doc_id", url_normalize_expr(url).alias("norm_url"))
 
 
+def q_url_filter(spark, sf_dir):
+    """C4-style URL gate over synthesized urls: domain blocklist matches the
+    host AND every subdomain (bounded suffix-chain explode + broadcast
+    semi-join, no endswith scan); bad-pattern rules are one codegen
+    alternation. Engine-added op (SURVEY §2.11)."""
+    from rag_pdf_parser_spark.operators.urlfilter import filter_urls
+
+    d = _t(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.when(F.col("doc_id") % 5 == 0, F.lit("ads.tracker.example"))
+        .otherwise(F.concat(F.lit("sub"), (F.col("doc_id") % 7).cast("string"),
+                            F.lit(".site-"), F.col("source"), F.lit(".org"))),
+        F.lit("/page/"), F.col("doc_id").cast("string"),
+        F.when(F.col("doc_id") % 11 == 0, F.lit("/login")).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 13 == 0, F.lit("/img.jpg")).otherwise(F.lit("")),
+    )
+    blocked = spark.createDataFrame(
+        [("tracker.example",), ("site-src7.org",)], "host string")
+    out = filter_urls(d.select("doc_id", url.alias("url")), blocked)
+    return out.select(
+        "doc_id", "url_blocked",
+        F.coalesce("block_reason", F.lit("ok")).alias("block_reason"))
+
+
 def q_doc_stats_by_lang(spark, sf_dir):
     """A1-shape per-group stats: counts, exact char totals, avg tokens."""
     d = _t(spark, sf_dir, "documents")
@@ -753,6 +778,16 @@ def q_simhash64(spark, sf_dir):
     return simhash(d).select("doc_id", "simhash")
 
 
+def q_simhash_near_dups(spark, sf_dir):
+    """SimHash near-dup pairs via Manku-2007 banded blocking (4×16-bit
+    chunks, exact hamming<=3 verify) — recall-1.0 candidate generation
+    without an all-pairs scan."""
+    from rag_pdf_parser_spark.operators.dedup import simhash_near_dup_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return simhash_near_dup_pairs(d, id_col="doc_id")
+
+
 def q_ann_topk(spark, sf_dir):
     """LSH-bucketed approximate NN (scale path for similarity search)."""
     e = _t(spark, sf_dir, "embeddings")
@@ -1095,6 +1130,10 @@ _EXTRA_KEYS = (
     # word-shingle MinHash flavor (Lee-style config) — full DuckDB twin in
     # the pytest mini-driver; the driver registry is at its 50-row cap
     "minhash_word_pairs",
+    # Manku banded simhash pair generation — kernel-golden twin in extras
+    "simhash_near_dups",
+    # C4-style URL/domain gate — independent DuckDB twin in extras
+    "url_filter",
 )
 
 
@@ -1127,6 +1166,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "anchor_format": q_anchor_format,
         "url_normalize": q_url_normalize,
+        "url_filter": q_url_filter,
         "doc_stats_by_lang": q_doc_stats_by_lang,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "minhash_word_pairs": q_minhash_word_pairs,
@@ -1167,6 +1207,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "assemble_native": q_assemble_native,
         "minhash_lsh_xx": q_minhash_lsh_xx,
         "simhash64": q_simhash64,
+        "simhash_near_dups": q_simhash_near_dups,
         "ann_topk": q_ann_topk,
         "ivf_topk": q_ivf_topk,
     }
@@ -1364,6 +1405,41 @@ FROM buckets l JOIN buckets r
   ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id
 """
 
+_URL_FILTER_SQL = """
+WITH u AS (
+  SELECT doc_id,
+         'https://' || CASE WHEN doc_id % 5 = 0 THEN 'ads.tracker.example'
+              ELSE 'sub' || (doc_id % 7) || '.site-' || source || '.org' END
+         || '/page/' || doc_id
+         || CASE WHEN doc_id % 11 = 0 THEN '/login' ELSE '' END
+         || CASE WHEN doc_id % 13 = 0 THEN '/img.jpg' ELSE '' END AS url
+  FROM documents
+), h AS (
+  SELECT doc_id, url,
+         regexp_extract(
+           regexp_replace(
+             regexp_replace(lower(url), '^[a-z][a-z0-9+.-]*://', ''),
+             '^[^/@?#]*@', ''),
+           '^([^/:?#]*)', 1) AS host
+  FROM u
+), f AS (
+  SELECT doc_id, url,
+         (host IN ('tracker.example', 'site-src7.org')
+          OR host LIKE '%.tracker.example'
+          OR host LIKE '%.site-src7.org') AS dom,
+         regexp_matches(lower(url),
+           '(\\.(jpg|jpeg|png|gif|webp|mp4|avi|mp3|zip|exe|css|js)([?#]|$))'
+           || '|([?&](sessionid|sid|phpsessid)=)'
+           || '|(/(login|signin|signup|logout|cart|checkout)([/?#]|$))'
+           || '|(/calendar/[0-9]{4}/[0-9]{2})') AS pat
+  FROM h
+)
+SELECT doc_id, (dom OR pat) AS url_blocked,
+       CASE WHEN dom THEN 'domain' WHEN pat THEN 'pattern'
+            ELSE 'ok' END AS block_reason
+FROM f
+"""
+
 _MINHASH_WORD_SQL = f"""
 WITH norm AS (
   SELECT doc_id, {_NORM} AS t FROM documents WHERE doc_id % 10 = 0
@@ -1523,6 +1599,7 @@ def _oracle_sql_all() -> dict[str, str]:
         """,
         "minhash_lsh_pairs": _MINHASH_SQL,
         "minhash_word_pairs": _MINHASH_WORD_SQL,
+        "url_filter": _URL_FILTER_SQL,
         "jaccard_pairs": _JACCARD_SQL,
         "simhash16": _simhash16_sql(),
         "knn_cosine": _KNN_SQL,
@@ -1933,6 +2010,7 @@ def _generated_oracles() -> dict[str, str]:
         "minhash_lsh_xx": O.minhash_xx_sql,
         "dup_components": O.dup_components_sql,
         "simhash64": O.simhash64_sql,
+        "simhash_near_dups": O.simhash_band_pairs_sql,
         # fully independent DuckDB SQL twins
         "ann_topk": O.ann_topk_sql,
         "ivf_topk": O.ivf_topk_sql,

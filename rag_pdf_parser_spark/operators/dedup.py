@@ -266,6 +266,64 @@ def simhash_hamming(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
+def simhash_near_dup_pairs(df: DataFrame, id_col: str = "doc_id",
+                           text_col: str = "text", bands: int = 4,
+                           max_hamming: int = 3, bits: int = 64,
+                           max_bucket: int | None = None) -> DataFrame:
+    """SimHash near-dup PAIRS at corpus scale via banded blocking (Manku,
+    Jain & Sarma 2007, "Detecting near-duplicates for web crawling"): split
+    the `bits`-bit fingerprint into `bands` contiguous chunks; by
+    pigeonhole, two fingerprints within Hamming distance <= bands-1 agree
+    EXACTLY on at least one chunk, so an equi-self-join on (band, chunk
+    value) finds every such pair with recall 1.0 — no all-pairs scan. The
+    exact `bit_count(xor) <= max_hamming` predicate then verifies
+    candidates (default 3 = bands-1, the lossless configuration; a larger
+    max_hamming with the same bands trades recall for cost exactly as in
+    the paper).
+
+    Shuffle ∝ corpus × bands on uniformly-distributed 16-bit chunk keys;
+    `max_bucket` is the same boilerplate-mega-bucket skew guard as
+    `lsh_candidate_pairs` (a chunk value shared by m docs fans out m²
+    candidates — cap it and let the cheaper exact-dedup lane own those).
+    """
+    if bits % bands != 0:
+        raise ValueError(f"bands={bands} must divide bits={bits}")
+    width = bits // bands
+    mask = F.lit((1 << width) - 1).cast("long")
+    sig = simhash(df.select(id_col, text_col), text_col, bits).select(
+        F.col(id_col).alias("id"), "simhash")
+    entries = [
+        F.struct(
+            F.lit(b).alias("band"),
+            # shiftright is arithmetic (sign-extends the top band) — the
+            # mask normalizes chunks to unsigned values
+            F.shiftright(F.col("simhash"), b * width).bitwiseAND(mask)
+            .alias("bv"),
+        )
+        for b in range(bands)
+    ]
+    bk = sig.select(
+        "id", "simhash", F.explode(F.array(*entries)).alias("k")
+    ).select("id", "simhash", "k.band", "k.bv")
+    if max_bucket is not None:
+        sizes = bk.groupBy("band", "bv").agg(F.count("*").alias("__bsz"))
+        bk = bk.join(sizes.where(F.col("__bsz") <= max_bucket),
+                     ["band", "bv"]).drop("__bsz")
+    left, right = bk.alias("l"), bk.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bv") == F.col("r.bv"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .where(simhash_hamming(F.col("l.simhash"), F.col("r.simhash"))
+               <= max_hamming)
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .distinct()
+    )
+
+
 # --- Jaccard -----------------------------------------------------------------------
 
 def ngram_jaccard_pairs(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id",

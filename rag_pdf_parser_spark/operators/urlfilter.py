@@ -1,0 +1,119 @@
+"""URL / domain filtering — the front gate of every web-corpus pipeline
+(C4 §2.2 / RefinedWeb §3.1 style): drop documents from blocklisted domains
+(including all subdomains) or whose URL matches bad patterns, BEFORE paying
+for extraction.
+
+Scale shape: subdomain matching is NOT an endswith scan — each host explodes
+into its bounded suffix chain (`a.b.co.uk` → [a.b.co.uk, b.co.uk, co.uk])
+and the blocklist match becomes an equi semi-join on suffix (broadcast: real
+blocklists are ~1e5-1e6 rows, megabytes). Pattern rules are a fixed list of
+RE2-safe regexes compiled into ONE alternation evaluated JVM-side. Both are
+pure column expressions + one broadcast join — zero Python in the path.
+
+The reference has no URL gate (single-directory file tool); this is an
+engine-added operator per the §2.11 training-data inventory.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: default bad-URL patterns (C4-style: raw/binary asset endpoints, login and
+#: search pages, calendars and session artifacts that yield boilerplate)
+DEFAULT_URL_PATTERNS = (
+    r"\.(?:jpg|jpeg|png|gif|webp|mp4|avi|mp3|zip|exe|css|js)(?:[?#]|$)",
+    r"[?&](?:sessionid|sid|phpsessid)=",
+    r"/(?:login|signin|signup|logout|cart|checkout)(?:[/?#]|$)",
+    r"/calendar/\d{4}/\d{2}",
+)
+
+#: suffix-chain depth cap: hosts deeper than this keep only their last
+#: `MAX_HOST_LABELS` labels for matching (a 50-label host is itself spam;
+#: the cap bounds the Generate fan-out per row)
+MAX_HOST_LABELS = 6
+
+
+def url_host_expr(url: Column) -> Column:
+    """Lowercased host of the URL: strips scheme, userinfo, port, and any
+    path/query/fragment; scheme-less URLs are treated as starting with the
+    host (the crawl-manifest convention)."""
+    u = F.lower(url)
+    no_scheme = F.regexp_replace(u, r"^[a-z][a-z0-9+.-]*://", "")
+    no_user = F.regexp_replace(no_scheme, r"^[^/@?#]*@", "")
+    host = F.regexp_extract(no_user, r"^([^/:?#]*)", 1)
+    return host
+
+
+def host_suffixes_expr(host: Column,
+                       max_labels: int = MAX_HOST_LABELS) -> Column:
+    """Array of the host's registrable suffix chain, shortest last:
+    'a.b.example.com' → ['a.b.example.com', 'b.example.com', 'example.com',
+    'com']. Built with one split + slice/array_join per depth — constant
+    expression count, no HOF-over-derived-array O(n²)."""
+    labels = F.split(host, r"\.")
+    n = F.size(labels)
+    start = F.greatest(n - max_labels + 1, F.lit(1))
+    suffixes = [
+        F.when(n - k >= start,
+               F.array_join(F.slice(labels, n - k, k + 1), "."))
+        for k in range(max_labels - 1, -1, -1)
+    ]
+    return F.filter(F.array(*suffixes), lambda s: s.isNotNull())
+
+
+def url_pattern_flag_expr(url: Column,
+                          patterns: tuple[str, ...] = DEFAULT_URL_PATTERNS
+                          ) -> Column:
+    """True when the URL matches any bad pattern — one alternation regex,
+    evaluated in codegen."""
+    combined = "(?:" + ")|(?:".join(patterns) + ")"
+    return F.lower(url).rlike(combined)
+
+
+def filter_urls(docs: DataFrame, blocked_hosts: DataFrame | None = None,
+                url_col: str = "url",
+                patterns: tuple[str, ...] = DEFAULT_URL_PATTERNS,
+                action: str = "flag") -> DataFrame:
+    """The URL gate. `blocked_hosts` needs a `host` string column
+    (registrable domains; matching covers the domain AND every subdomain).
+
+    action='flag' (default): returns docs + `url_blocked` boolean +
+    `block_reason` ('domain' < 'pattern' when both) — the auditable form
+    (manifests record WHY a url was dropped, mirroring failure_code).
+    action='drop': returns only the passing rows (the production gate).
+    """
+    if action not in ("flag", "drop"):
+        raise ValueError(f"action must be 'flag' or 'drop', got {action!r}")
+    pat = url_pattern_flag_expr(F.col(url_col), patterns) if patterns \
+        else F.lit(False)
+    out = docs.withColumn("__pat", pat)
+    if blocked_hosts is not None:
+        sfx = out.select(
+            F.col(url_col),
+            F.explode(host_suffixes_expr(url_host_expr(F.col(url_col))))
+            .alias("host"),
+        )
+        hit = (
+            sfx.join(F.broadcast(blocked_hosts.select("host").distinct()),
+                     "host")
+            .select(url_col).distinct()
+            .withColumn("__dom", F.lit(True))
+        )
+        out = out.join(hit, url_col, "left") \
+            .withColumn("__dom", F.coalesce("__dom", F.lit(False)))
+    else:
+        out = out.withColumn("__dom", F.lit(False))
+    flagged = (
+        out.withColumn("url_blocked", F.col("__dom") | F.col("__pat"))
+        .withColumn(
+            "block_reason",
+            F.when(F.col("__dom"), F.lit("domain"))
+            .when(F.col("__pat"), F.lit("pattern")),
+        )
+        .drop("__dom", "__pat")
+    )
+    if action == "drop":
+        return flagged.where(~F.col("url_blocked")) \
+            .drop("url_blocked", "block_reason")
+    return flagged

@@ -234,6 +234,34 @@ def simhash64_sql() -> str:
     return values_sql(rows, [("doc_id", "BIGINT"), ("simhash", "BIGINT")])
 
 
+def simhash_band_pairs_sql(bands: int = 4, max_hamming: int = 3) -> str:
+    """Golden pairs for operators.dedup.simhash_near_dup_pairs: the Manku
+    banded blocking + exact hamming verify re-run locally over the twin
+    fingerprints (independent of Spark — same pure-Python xxhash64 chain
+    as simhash64_sql)."""
+    from .kernel.twins import simhash64
+
+    fps = [(d, simhash64(t)) for d, t in _oracle_documents()]
+    width = 64 // bands
+    mask = (1 << width) - 1
+    u64 = (1 << 64) - 1
+    buckets: dict[tuple, list] = {}
+    for d, fp in fps:
+        u = fp & u64
+        for b in range(bands):
+            buckets.setdefault((b, (u >> (b * width)) & mask), []).append(
+                (d, fp))
+    pairs = set()
+    for members in buckets.values():
+        ms = sorted(members)
+        for i, (da, fa) in enumerate(ms):
+            for db, fb in ms[i + 1:]:
+                if da != db and bin((fa ^ fb) & u64).count("1") <= max_hamming:
+                    pairs.add((min(da, db), max(da, db)))
+    return values_sql(sorted(pairs),
+                      [("id_a", "BIGINT"), ("id_b", "BIGINT")])
+
+
 def corpus_line_dedup_sql(n_pages: int = 300, min_repeat: int = 2) -> str:
     """Golden for C4-style corpus-level line dedup over the extracted texts:
     the whole count→drop→reassemble chain re-computed locally (Counter +

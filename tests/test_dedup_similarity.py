@@ -337,6 +337,74 @@ def test_minhash_word_shingles_lee_config(spark, docs_df):
             assert a in fam and b in fam, (flavor, a, b)
 
 
+def test_simhash_near_dup_pairs_banded(spark, docs_df):
+    """Manku banded blocking: near-identical docs land in a shared 16-bit
+    band and pass the exact hamming verify; unrelated docs never pair.
+    Pigeonhole recall: any pair within hamming <= bands-1 MUST be found —
+    checked against the O(n²) reference computed from the fingerprints."""
+    from rag_pdf_parser_spark.operators.dedup import (
+        simhash,
+        simhash_near_dup_pairs,
+    )
+
+    got = {(r["id_a"], r["id_b"])
+           for r in simhash_near_dup_pairs(docs_df, max_hamming=3).collect()}
+    fps = {r["doc_id"]: r["simhash"] for r in simhash(docs_df).collect()}
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    ids = sorted(fps)
+    expect = {(a, b) for i, a in enumerate(ids) for b in ids[i + 1:]
+              if ham(fps[a], fps[b]) <= 3}
+    assert got == expect, (sorted(got - expect), sorted(expect - got))
+    assert ("d00", "d01") in got  # identical docs: distance 0
+    with pytest.raises(ValueError, match="divide"):
+        simhash_near_dup_pairs(docs_df, bands=5)
+
+
+def test_url_filter_gate(spark):
+    """Domain blocklist covers subdomains (suffix-chain semi-join);
+    patterns flag asset/login/session urls; drop action removes rows."""
+    from rag_pdf_parser_spark.operators.urlfilter import (
+        filter_urls,
+        host_suffixes_expr,
+        url_host_expr,
+    )
+
+    rows = [
+        (1, "https://ads.tracker.example/page"),       # subdomain block
+        (2, "https://tracker.example/page"),           # exact domain block
+        (3, "https://nottracker.example/page"),        # NOT a suffix match
+        (4, "https://ok.site.org/a/img.JPG"),          # extension pattern
+        (5, "http://u:p@ok.site.org:8080/login"),      # userinfo+port, login
+        (6, "https://ok.site.org/fine?sid=x"),         # session param
+        (7, "https://ok.site.org/clean/page"),         # passes
+        (8, "ok.site.org/no-scheme/login/x"),          # scheme-less
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, url string")
+    blocked = spark.createDataFrame([("tracker.example",)], "host string")
+    got = {r["doc_id"]: (r["url_blocked"], r["block_reason"])
+           for r in filter_urls(docs, blocked).collect()}
+    assert got == {1: (True, "domain"), 2: (True, "domain"),
+                   3: (False, None), 4: (True, "pattern"),
+                   5: (True, "pattern"), 6: (True, "pattern"),
+                   7: (False, None), 8: (True, "pattern")}, got
+    kept = sorted(r["doc_id"]
+                  for r in filter_urls(docs, blocked, action="drop").collect())
+    assert kept == [3, 7]
+    # host extraction + suffix chain
+    h = docs.where(F.col("doc_id") == 5).select(
+        url_host_expr(F.col("url")).alias("h")).collect()[0]["h"]
+    assert h == "ok.site.org"
+    sfx = spark.range(1).select(
+        host_suffixes_expr(F.lit("a.b.example.com")).alias("s")
+    ).collect()[0]["s"]
+    assert sfx == ["a.b.example.com", "b.example.com", "example.com", "com"]
+    with pytest.raises(ValueError, match="flag.*drop"):
+        filter_urls(docs, blocked, action="keep")
+
+
 def test_minhash_word_signature_properties(spark):
     """Word-shingle signatures: identical token streams (independent of
     whitespace/case) share signatures; empty docs keep a signature row;
