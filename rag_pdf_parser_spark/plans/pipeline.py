@@ -88,7 +88,8 @@ class ExtractionPipeline:
     # -- run --------------------------------------------------------------------
     def run(self, pages: DataFrame, run_id: str = "run0",
             with_chunks: bool = True, fmt: str = "parquet",
-            dedupe: bool = False) -> dict:
+            dedupe: bool = False,
+            url_blocklist: DataFrame | None = None) -> dict:
         """`fmt='json'` mirrors the reference's JSONL sinks (K2/K3,
         writer.py:110-165) — same rows, line-delimited; parquet is the
         scale default (columnar, prunable).
@@ -100,8 +101,15 @@ class ExtractionPipeline:
         are NOT written to the content sinks — but they ARE recorded in
         the manifest with failure_code='DUPLICATE', so resume never
         re-extracts them (exactly the reference's skip-if-seen +
-        mark-status flow)."""
-        return self._run(pages, run_id, with_chunks, fmt, dedupe)
+        mark-status flow).
+
+        `url_blocklist` (a DataFrame with a `host` column) switches on the
+        C4-style URL gate (operators.urlfilter) BEFORE extraction: blocked
+        pages never reach the Arrow stage — they are only recorded in the
+        manifest as failure_code='URL_BLOCKED', so resume skips them
+        forever and the expensive kernel pays nothing for them."""
+        return self._run(pages, run_id, with_chunks, fmt, dedupe,
+                         url_blocklist)
 
     # -- commit protocol -------------------------------------------------------
     def committed_batch_ids(self) -> list[str]:
@@ -167,9 +175,31 @@ class ExtractionPipeline:
         return removed
 
     def _run(self, pages: DataFrame, run_id: str,
-             with_chunks: bool, fmt: str, dedupe: bool = False) -> dict:
+             with_chunks: bool, fmt: str, dedupe: bool = False,
+             url_blocklist: DataFrame | None = None) -> dict:
         todo = self.pending(pages)
         batch_id = f"{run_id}-{uuid.uuid4().hex[:12]}"
+        blocked_manifest = None
+        n_blocked = 0
+        if url_blocklist is not None:
+            from ..operators.urlfilter import filter_urls
+
+            flagged = filter_urls(todo, url_blocklist)
+            # checkpointed for the same reason as docs_m below: its plan
+            # reads the manifest (resume anti-join) that the commit below
+            # mutates, and it feeds both the manifest union and the count
+            blocked_manifest = flagged.where(F.col("url_blocked")).select(
+                F.lit(run_id).alias("run_id"),
+                F.spark_partition_id().alias("partition_id"),
+                F.col("url"),
+                F.length(F.coalesce(F.col("html"), F.lit(b"")))
+                .cast("long").alias("bytes_in"),
+                F.lit(0).cast("long").alias("bytes_out"),
+                F.lit("URL_BLOCKED").alias("failure_code"),
+            ).localCheckpoint(eager=True)
+            n_blocked = blocked_manifest.count()
+            todo = flagged.where(~F.col("url_blocked")) \
+                .drop("url_blocked", "block_reason")
         # fused extract+chunk: one Arrow stage, no chunking shuffle
         docs = extract_docs_full(todo, self.partitions)
 
@@ -219,6 +249,8 @@ class ExtractionPipeline:
                    F.coalesce("failure_code", F.lit("DUPLICATE")))
             .otherwise(F.col("failure_code")).alias("failure_code"),
         )
+        if blocked_manifest is not None:
+            manifest = manifest.unionByName(blocked_manifest)
         staging = os.path.join(self.out_dir, "_staging", batch_id)
         manifest.write.mode("overwrite").parquet(staging)
         self._commit(staging, batch_id)
@@ -240,7 +272,7 @@ class ExtractionPipeline:
             )
         n_dups = docs_m.where(F.col("__dup")).count() if dedupe else 0
         return {"run_id": run_id, "docs_processed": n_docs,
-                "duplicates_skipped": n_dups}
+                "duplicates_skipped": n_dups, "urls_blocked": n_blocked}
 
     @property
     def seen_path(self) -> str:

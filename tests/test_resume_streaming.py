@@ -101,6 +101,43 @@ def test_crash_between_sinks_and_manifest_commit(spark, tmp_path):
     assert p.read_docs().count() == 60
 
 
+def test_pipeline_url_gate_blocks_before_extraction(spark, tmp_path):
+    """url_blocklist: blocked pages never reach the content sinks, are
+    manifest-recorded as URL_BLOCKED (so resume skips them forever), and
+    clean pages extract normally."""
+    import pandas as pd
+
+    from rag_pdf_parser_spark.schema import PAGES_SCHEMA
+
+    body = b"<html><body><p>sufficiently long real page content</p></body></html>"
+    rows = [(f"https://sub{i}.spam.example/p/{i}", None, body, "", "en")
+            for i in range(3)]
+    rows += [(f"https://ok.example/p/{i}", None, body, "", "en")
+             for i in range(4)]
+    pages = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["url", "warc_ts", "html", "text", "lang"]),
+        schema=PAGES_SCHEMA)
+    blocked = spark.createDataFrame([("spam.example",)], "host string")
+
+    p = ExtractionPipeline(spark, str(tmp_path / "ug"), partitions=2)
+    r = p.run(pages, run_id="r1", with_chunks=False, url_blocklist=blocked)
+    assert r["urls_blocked"] == 3 and r["docs_processed"] == 4, r
+
+    docs = p.read_docs()
+    assert docs.count() == 4
+    assert docs.where(F.col("url").contains("spam")).count() == 0
+    m = spark.read.parquet(p.manifest_path)
+    blocked_rows = m.where(F.col("failure_code") == "URL_BLOCKED")
+    assert blocked_rows.count() == 3
+    assert all(r["bytes_out"] == 0 and r["bytes_in"] > 0
+               for r in blocked_rows.collect())
+
+    # resume: nothing left to do — blocked urls are settled in the manifest
+    r2 = p.run(pages, run_id="r2", with_chunks=False, url_blocklist=blocked)
+    assert r2["docs_processed"] == 0 and r2["urls_blocked"] == 0, r2
+    assert spark.read.parquet(p.manifest_path).count() == 7
+
+
 def test_manifest_summary_lineage(spark, tmp_path):
     pages = synth_pages(spark, 60)
     out = str(tmp_path / "lineage")
