@@ -553,13 +553,19 @@ def decontaminate_flags(docs: DataFrame, benchmark_grams: DataFrame,
     copies ~13× the text volume per doc.
     `hashed=True`: the corpus-scale formulation — xxhash64 each gram INSIDE
     the row projection (the gram array never leaves the row), explode the
-    resulting int64 array (8-byte Generate rows, ~10× less Generate
-    traffic than the strings), broadcast-join on longs. Identical flags up
-    to 64-bit hash collisions (verified flag-identical over the sf0.01
-    corpus in tests/test_dedup_similarity.py; measured 1.4× faster at
-    sf0.1 — 6.86 → 4.91 s, BENCH.md — with the gap growing in gram
-    length: Generate traffic is 8 bytes/gram vs the ~80-byte 13-gram
-    string).
+    resulting int64 array, join on longs. Identical flags up to 64-bit
+    hash collisions (verified flag-identical over the sf0.01 corpus in
+    tests/test_dedup_similarity.py).
+
+    When it pays (BENCH.md has both measured at sf0.1): in the BROADCAST
+    regime both formulations pipeline Generate → join → partial-agg in one
+    stage with no materialization, so they bench within noise of each
+    other — the gram fold dominates. The hashed path is the one that
+    SURVIVES leaving that regime: when the benchmark set outgrows the
+    broadcast threshold (full eval-suite decontamination) the join
+    becomes a shuffle whose exchanged bytes are 8/gram instead of ~80
+    (13-gram strings), and long equality beats string equality in the
+    join hash table either way.
     """
     if hashed:
         gh = F.transform(token_ngrams_expr(F.col(text_col), n),

@@ -34,6 +34,9 @@ def main() -> None:
     ap.add_argument("--no-chunks", action="store_true")
     ap.add_argument("--dedupe", action="store_true",
                     help="content-dedup gate vs the persistent seen_hashes store")
+    ap.add_argument("--blocklist", default=None,
+                    help="parquet/csv of blocked hosts (column `host`) — "
+                         "switches on the pre-extraction URL gate")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -54,10 +57,18 @@ def main() -> None:
     else:
         pages = spark.read.schema(PAGES_SCHEMA).parquet(args.pages)
 
+    blocklist = None
+    if args.blocklist:
+        reader = spark.read
+        blocklist = (reader.option("header", "true").csv(args.blocklist)
+                     if args.blocklist.endswith(".csv")
+                     else reader.parquet(args.blocklist))
+
     pipe = ExtractionPipeline(spark, args.out)
     t0 = time.time()
     result = pipe.run(pages, run_id=args.run_id,
-                      with_chunks=not args.no_chunks, fmt=args.format, dedupe=args.dedupe)
+                      with_chunks=not args.no_chunks, fmt=args.format,
+                      dedupe=args.dedupe, url_blocklist=blocklist)
     result["wall_sec"] = round(time.time() - t0, 2)
     summary = pipe.manifest_summary().collect()
     result["partitions"] = len([r for r in summary if r["run_id"] == args.run_id])
