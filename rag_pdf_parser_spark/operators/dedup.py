@@ -129,18 +129,31 @@ def minhash_signature(df: DataFrame, text_col: str = "text", n: int = 5,
         # decontamination: hash each gram to int64 IN the row projection and
         # explode 8-byte longs, never the gram strings. The sha flavor
         # (oracle config, bounded inputs) explodes the strings.
+        # explode_outer + coalesce, NOT a when(size>0) guard: the guard
+        # would reference the fold in both predicate and then-branch, and
+        # Spark does not hoist conditional-branch subexpressions — the
+        # optimized plan carried TWO full copies of the fold per row
+        # (r4 review finding). explode_outer emits one null row for the
+        # empty array; coalescing it to the ''-shingle (or its hash)
+        # reproduces the guard's semantics with ONE fold evaluation.
         grams = token_ngrams_expr(F.col("__t"), n, pre_normalized=True)
-        grams = F.when(F.size(grams) > 0, grams) \
-            .otherwise(F.array(F.lit("")))
         if flavor == "xx":
             sh = pre.select(
                 *id_cols,
-                F.explode(F.transform(grams, lambda g: F.xxhash64(g))).alias("__gh"),
+                F.explode_outer(F.transform(grams, lambda g: F.xxhash64(g)))
+                .alias("__gh0"),
+            ).select(
+                *id_cols,
+                F.coalesce(F.col("__gh0"), F.xxhash64(F.lit("")))
+                .alias("__gh"),
             )
             aggs = [F.min(F.xxhash64(F.col("__gh"), F.lit(j))).alias(f"mh{j}")
                     for j in range(num_perm)]
             return sh.groupBy(*id_cols).agg(*aggs)
-        sh = pre.select(*id_cols, F.explode(grams).alias("__g"))
+        sh = pre.select(
+            *id_cols, F.explode_outer(grams).alias("__g0")
+        ).select(*id_cols,
+                 F.coalesce(F.col("__g0"), F.lit("")).alias("__g"))
     if flavor == "xx":
         aggs = [F.min(F.xxhash64(F.col("__g"), F.lit(j))).alias(f"mh{j}")
                 for j in range(num_perm)]

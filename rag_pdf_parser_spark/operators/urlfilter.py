@@ -85,8 +85,11 @@ def filter_urls(docs: DataFrame, blocked_hosts: DataFrame | None = None,
     """
     if action not in ("flag", "drop"):
         raise ValueError(f"action must be 'flag' or 'drop', got {action!r}")
-    pat = url_pattern_flag_expr(F.col(url_col), patterns) if patterns \
-        else F.lit(False)
+    # coalesce to false: rlike(NULL) is NULL, and a NULL url_blocked would
+    # make the row vanish from BOTH branches of the pipeline gate (neither
+    # blocked-manifest nor extraction) — null urls pass through unblocked
+    pat = F.coalesce(url_pattern_flag_expr(F.col(url_col), patterns),
+                     F.lit(False)) if patterns else F.lit(False)
     out = docs.withColumn("__pat", pat)
     if blocked_hosts is not None:
         sfx = out.select(
@@ -94,9 +97,12 @@ def filter_urls(docs: DataFrame, blocked_hosts: DataFrame | None = None,
             F.explode(host_suffixes_expr(url_host_expr(F.col(url_col))))
             .alias("host"),
         )
+        # normalize the blocklist side too: real blocklist files carry
+        # mixed case / stray whitespace, and the suffix chain is lowercase
+        blocked_norm = blocked_hosts.select(
+            F.lower(F.trim(F.col("host"))).alias("host")).distinct()
         hit = (
-            sfx.join(F.broadcast(blocked_hosts.select("host").distinct()),
-                     "host")
+            sfx.join(F.broadcast(blocked_norm), "host")
             .select(url_col).distinct()
             .withColumn("__dom", F.lit(True))
         )

@@ -115,6 +115,15 @@ def compact_seen_hashes(spark: SparkSession, path: str) -> dict:
 
 def compact_lsh_store(spark: SparkSession, path: str) -> dict:
     """Streaming LSH bucket store maintenance: one row per (band, bucket),
-    bp partition layout preserved for micro-batch pruning."""
-    return compact_table(spark, path, ["band", "bucket"],
-                         partition_by=["bp"])
+    bp partition layout preserved for micro-batch pruning. The store's
+    _STORE_META.json (the persisted bp modulus — streaming/minhash.py) is
+    carried across the swap: bp values are preserved verbatim, so the
+    modulus they were computed with must be too."""
+    from ..streaming.minhash import store_meta_partitions, write_store_meta
+
+    meta = store_meta_partitions(path)
+    stats = compact_table(spark, path, ["band", "bucket"],
+                          partition_by=["bp"])
+    if meta is not None:
+        write_store_meta(path, meta)
+    return stats

@@ -30,6 +30,7 @@ downstream — the same idempotence argument as the batch manifest resume.
 
 from __future__ import annotations
 
+import json
 import os
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -39,8 +40,46 @@ from ..operators.dedup import lsh_buckets
 
 #: store partition count — at 10^12 scale raise this so each partition's
 #: bucket file set stays executor-sized; the lookup cost per micro-batch is
-#: bounded by the batch's own bucket count either way.
+#: bounded by the batch's own bucket count either way. The value is BAKED
+#: INTO the store's bp values, so an existing store must be read with the
+#: modulus it was written with — it is persisted in _STORE_META.json at
+#: store creation and VALIDATED on every run (a silent mismatch would
+#: prune the wrong partitions and re-admit every seen duplicate). To
+#: change it, rewrite the store (recompute bp) — not just the parameter.
 STORE_PARTITIONS = 64
+
+_META_NAME = "_STORE_META.json"  # leading '_': ignored by Spark's listing
+
+
+def store_meta_partitions(seen_dir: str) -> int | None:
+    """The modulus the store at `seen_dir` was written with, or None if the
+    store doesn't exist yet."""
+    p = os.path.join(seen_dir, _META_NAME)
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return int(json.load(f)["store_partitions"])
+
+
+def write_store_meta(seen_dir: str, n_parts: int) -> None:
+    os.makedirs(seen_dir, exist_ok=True)
+    with open(os.path.join(seen_dir, _META_NAME), "w") as f:
+        json.dump({"store_partitions": int(n_parts)}, f)
+
+
+def _resolve_store_partitions(seen_dir: str, requested: int) -> int:
+    persisted = store_meta_partitions(seen_dir)
+    if persisted is None:
+        return requested
+    if persisted != requested:
+        raise ValueError(
+            f"LSH store at {seen_dir} was written with "
+            f"store_partitions={persisted}, but {requested} was requested — "
+            "reading with a different modulus would prune the WRONG "
+            "partitions and silently re-admit seen duplicates. Rewrite the "
+            "store (recomputing bp) to change the partition count."
+        )
+    return persisted
 
 
 def store_partition_expr(band: Column, bucket: Column,
@@ -118,15 +157,19 @@ def run_streaming_dedup(spark: SparkSession, src_dir: str, schema,
 
     def process(batch: DataFrame, _bid: int) -> None:
         sp = batch.sparkSession
+        n_parts = _resolve_store_partitions(seen_dir, store_partitions)
         buckets = (
             lsh_buckets(batch, id_col, text_col)
             .withColumn("bp", store_partition_expr(
-                F.col("band"), F.col("bucket"), store_partitions))
+                F.col("band"), F.col("bucket"), n_parts))
             .localCheckpoint(eager=True)
         )
         bps = [r["bp"] for r in buckets.select("bp").distinct().collect()]
-        seen = (read_store_pruned(sp, seen_dir, bps)
-                if os.path.exists(seen_dir) else None)
+        # a store dir that exists but holds only the meta file (crash
+        # between meta write and first append) has nothing to read yet
+        has_data = os.path.isdir(seen_dir) and any(
+            d.startswith("bp=") for d in os.listdir(seen_dir))
+        seen = read_store_pruned(sp, seen_dir, bps) if has_data else None
         novel, nb = novel_against_store(batch, seen, id_col, text_col,
                                         buckets=buckets)
         # OUTPUT FIRST, store second: if the job dies between the writes, a
@@ -136,6 +179,7 @@ def run_streaming_dedup(spark: SparkSession, src_dir: str, schema,
         # order would make a retried batch LSH-collide with itself and
         # silently drop every document.
         novel.write.mode("append").parquet(out_dir)
+        write_store_meta(seen_dir, n_parts)  # idempotent; before first rows
         (nb.select("band", "bucket", "bp")
          .write.mode("append").partitionBy("bp").parquet(seen_dir))
 

@@ -404,6 +404,22 @@ def test_url_filter_gate(spark):
     with pytest.raises(ValueError, match="flag.*drop"):
         filter_urls(docs, blocked, action="keep")
 
+    # r4 review findings: mixed-case/untrimmed blocklist entries must still
+    # match (real blocklist files carry both), and a NULL url must pass
+    # through unblocked — not vanish from both branches as url_blocked=NULL
+    messy = spark.createDataFrame([("  Tracker.EXAMPLE ",)], "host string")
+    got2 = {r["doc_id"]: r["url_blocked"]
+            for r in filter_urls(docs, messy).collect()}
+    assert got2[1] and got2[2] and not got2[3], got2
+    with_null = spark.createDataFrame(
+        [(1, "https://ok.site.org/x"), (2, None)], "doc_id long, url string")
+    gotn = {r["doc_id"]: r["url_blocked"]
+            for r in filter_urls(with_null, blocked).collect()}
+    assert gotn == {1: False, 2: False}, gotn
+    assert sorted(r["doc_id"] for r in
+                  filter_urls(with_null, blocked, action="drop").collect()) \
+        == [1, 2]
+
 
 def test_minhash_word_signature_properties(spark):
     """Word-shingle signatures: identical token streams (independent of
@@ -426,3 +442,9 @@ def test_minhash_word_signature_properties(spark):
         assert sig["a"] != sig["c"], flavor
     with pytest.raises(ValueError, match="char.*word"):
         minhash_signature(docs, shingle="sentence").collect()
+    # r4 review finding: the gram fold must appear ONCE in the optimized
+    # plan — the old when(size>0) guard duplicated the whole O(n·tokens)
+    # fold (predicate + then-branch are not subexpression-eliminated)
+    plan = minhash_signature(docs, num_perm=4, n=5, shingle="word") \
+        ._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("zip_with") <= 4, plan.count("zip_with")

@@ -643,6 +643,17 @@ def test_streaming_store_is_partitioned_and_pruned(spark, tmp_path):
                   .alias("bp")).collect()[0]["bp"]
     assert 0 <= a < STORE_PARTITIONS
 
+    # the modulus is persisted with the store and a mismatched rerun fails
+    # LOUDLY instead of pruning the wrong partitions (r4 review finding)
+    from rag_pdf_parser_spark.streaming.minhash import store_meta_partitions
+    assert store_meta_partitions(seen) == STORE_PARTITIONS
+    # (Spark wraps the foreachBatch ValueError in StreamingQueryException)
+    with pytest.raises(Exception, match="store_partitions"):
+        run_streaming_dedup(spark, str(src) + "/part*.parquet", sch,
+                            str(tmp_path / "out2"), seen,
+                            str(tmp_path / "ck2"),
+                            store_partitions=STORE_PARTITIONS * 2)
+
 
 def test_compaction_merge_equivalent(spark, tmp_path):
     """plans.maintenance: append-duplicated stores are rewritten to one row
