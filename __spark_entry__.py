@@ -215,6 +215,23 @@ def q_url_normalize(spark, sf_dir):
     return d.select("doc_id", url_normalize_expr(url).alias("norm_url"))
 
 
+def q_quality_model(spark, sf_dir):
+    """Model-based quality classifier slot (CCNet/fastText-style): hashed
+    unigram+bigram features → literal logistic weights → mean + bias. The
+    linear score is BIT-exact vs the pure-Python twin (literal weights, one
+    IEEE-deterministic fold); sigmoid calibration is monotone so keep
+    decisions threshold the linear score."""
+    from rag_pdf_parser_spark.functions import quality_model_score_expr
+
+    d = _t(spark, sf_dir, "documents")
+    qm = quality_model_score_expr(F.col("text"))
+    return d.select(
+        "doc_id",
+        F.round(qm["score_lin"], 6).alias("score_lin"),
+        qm["model_keep"].alias("model_keep"),
+    )
+
+
 def q_url_filter(spark, sf_dir):
     """C4-style URL gate over synthesized urls: domain blocklist matches the
     host AND every subdomain (bounded suffix-chain explode + broadcast
@@ -1134,6 +1151,8 @@ _EXTRA_KEYS = (
     "simhash_near_dups",
     # C4-style URL/domain gate — independent DuckDB twin in extras
     "url_filter",
+    # hashed linear quality classifier — kernel-golden twin in extras
+    "quality_model",
 )
 
 
@@ -1167,6 +1186,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anchor_format": q_anchor_format,
         "url_normalize": q_url_normalize,
         "url_filter": q_url_filter,
+        "quality_model": q_quality_model,
         "doc_stats_by_lang": q_doc_stats_by_lang,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "minhash_word_pairs": q_minhash_word_pairs,
@@ -2011,6 +2031,7 @@ def _generated_oracles() -> dict[str, str]:
         "dup_components": O.dup_components_sql,
         "simhash64": O.simhash64_sql,
         "simhash_near_dups": O.simhash_band_pairs_sql,
+        "quality_model": O.quality_model_sql,
         # fully independent DuckDB SQL twins
         "ann_topk": O.ann_topk_sql,
         "ivf_topk": O.ivf_topk_sql,

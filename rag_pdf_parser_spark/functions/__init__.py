@@ -392,3 +392,72 @@ def pii_scrub_expr(text: Column) -> dict[str, Column]:
         "n_phones": F.regexp_count(after_email, F.lit(PII_PHONE)),
         "n_ips": F.regexp_count(after_phone, F.lit(PII_IPV4)),
     }
+
+
+# --- hashed linear quality model (CCNet/fastText-style classifier slot) -----
+
+QUALITY_MODEL_DIM = 128
+
+
+def quality_model_weights(dim: int = QUALITY_MODEL_DIM,
+                          seed: int = 13) -> tuple[list[float], float]:
+    """Deterministic stand-in parameters for the model-based quality
+    classifier (the CCNet / GPT-3-era fastText quality filter slot). In
+    production these are TRAINED logistic-regression weights loaded from a
+    model artifact; the sandbox has no model file, so a seeded sha256 chain
+    generates a fixed pseudo-model — the INFERENCE path (feature hashing,
+    weight lookup, fold, calibration) is the real, tested component.
+    Returns (weights[dim], bias)."""
+    import hashlib
+
+    def w(tag):
+        h = int.from_bytes(
+            hashlib.sha256(f"qw-{seed}-{tag}".encode()).digest()[:8], "big")
+        return (h / 2.0 ** 63) - 1.0  # [-1, 1)
+
+    return [w(i) for i in range(dim)], w("bias")
+
+
+def quality_model_score_expr(text: Column,
+                             dim: int = QUALITY_MODEL_DIM,
+                             seed: int = 13) -> dict[str, Column]:
+    """Linear text-quality classifier over hashed unigram+bigram features
+    (the 'hashing trick' a la fastText/CCNet): feature f → bucket
+    pmod(xxhash64(f), dim) → weight lookup → mean over features + bias.
+
+    score_lin is BIT-exact across engines (literal weights, one
+    left-to-right fold — IEEE addition is order-deterministic, no
+    transcendental ops), so the oracle compares it exactly; `quality_p`
+    applies the monotone sigmoid calibration (exp may differ by an ULP
+    across libms — thresholding on score_lin is equivalent and exact).
+
+    Scale shape: pure expressions, zero shuffle, O(tokens) — the weight
+    array rides the plan as a literal (a real model's ~10^5-dim weights
+    would ship via broadcast + `F.element_at` on a map/array column
+    instead; same plan shape)."""
+    ws, bias = quality_model_weights(dim, seed)
+    toks = F.filter(F.split(normalized_text_expr(text), " "),
+                    lambda t: F.length(t) > 0)
+    n = F.size(toks)
+    bigrams = F.filter(
+        F.zip_with(toks, F.slice(toks, 2, F.greatest(n - 1, F.lit(0))),
+                   lambda a, b: F.when(b.isNotNull(),
+                                       F.concat(a, F.lit(" "), b))),
+        lambda x: x.isNotNull(),
+    )
+    feats = F.concat(toks, bigrams)
+    weights = F.array(*[F.lit(float(x)) for x in ws])
+    # hash each feature ONCE in a projection, then fold weight lookups —
+    # only an element_at happens inside the accumulator (HOF trap avoided)
+    buckets = F.transform(feats, lambda f: F.pmod(F.xxhash64(f), F.lit(dim)))
+    total = F.aggregate(
+        buckets, F.lit(0.0),
+        lambda acc, b: acc + F.element_at(weights, b.cast("int") + 1),
+    )
+    score = total / F.greatest(F.size(feats), F.lit(1)).cast("double") \
+        + F.lit(float(bias))
+    return {
+        "score_lin": score,
+        "quality_p": F.lit(1.0) / (F.lit(1.0) + F.exp(-score)),
+        "model_keep": score > 0,
+    }

@@ -193,3 +193,19 @@ def render_markdown_doc(blocks: list[dict]) -> str:
             out.append("\n\n")
         out.append(b["markdown"])
     return "".join(out)
+
+
+def quality_model_score(text: str, dim: int = 128, seed: int = 13) -> float:
+    """Twin of functions.quality_model_score_expr's score_lin: hashed
+    unigram+bigram features → literal-weight lookups folded left-to-right
+    (IEEE addition is order-deterministic, so this is BIT-exact vs the
+    Spark fold), mean over features, plus bias."""
+    from ..functions import quality_model_weights
+
+    ws, bias = quality_model_weights(dim, seed)
+    toks = [t for t in normalized_text(text).split(" ") if t]
+    feats = toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+    total = 0.0
+    for f in feats:
+        total = total + ws[_token_hash(f) % dim]
+    return total / float(max(len(feats), 1)) + bias

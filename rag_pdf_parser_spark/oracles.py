@@ -592,3 +592,18 @@ blocks AS (
 SELECT doc_id, CAST(ro AS INT) AS reading_order, type, text, markdown
 FROM blocks
 """
+
+
+def quality_model_sql() -> str:
+    """Golden for the hashed linear quality classifier: twin fold over the
+    oracle documents, compared on the bit-exact linear score (round 6) and
+    the keep flag."""
+    from .kernel.twins import quality_model_score, round_half_up
+
+    rows = [
+        (d, round_half_up(quality_model_score(t), 6),
+         quality_model_score(t) > 0)
+        for d, t in _oracle_documents()
+    ]
+    return values_sql(rows, [("doc_id", "BIGINT"), ("score_lin", "DOUBLE"),
+                             ("model_keep", "BOOLEAN")])

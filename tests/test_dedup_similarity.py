@@ -421,6 +421,34 @@ def test_url_filter_gate(spark):
         == [1, 2]
 
 
+def test_quality_model_bit_exact_vs_twin(spark):
+    """Hashed linear quality classifier: Spark fold == pure-Python twin
+    BIT-exactly (no rounding needed — literal weights, IEEE-deterministic
+    order); empty text scores exactly the bias; bigrams affect the score
+    (word order matters, unlike a pure bag of unigrams)."""
+    from rag_pdf_parser_spark.functions import (
+        quality_model_score_expr,
+        quality_model_weights,
+    )
+    from rag_pdf_parser_spark.kernel.twins import quality_model_score
+
+    texts = ["the quick brown fox", "fox brown quick the", "", "   ",
+             "Mixed CASE text\twith\ttabs", "one"]
+    df = spark.createDataFrame(list(enumerate(texts)), "i long, text string")
+    qm = quality_model_score_expr(F.col("text"))
+    got = {r["i"]: (r["lin"], r["p"], r["keep"]) for r in df.select(
+        "i", qm["score_lin"].alias("lin"), qm["quality_p"].alias("p"),
+        qm["model_keep"].alias("keep")).collect()}
+    _, bias = quality_model_weights()
+    for i, t in enumerate(texts):
+        assert got[i][0] == quality_model_score(t), (i, t)  # bit-exact
+        assert 0.0 < got[i][1] < 1.0
+        assert got[i][2] == (got[i][0] > 0)
+    assert got[2][0] == bias and got[3][0] == bias
+    # word order changes bigram features, hence the score
+    assert got[0][0] != got[1][0]
+
+
 def test_minhash_word_signature_properties(spark):
     """Word-shingle signatures: identical token streams (independent of
     whitespace/case) share signatures; empty docs keep a signature row;
