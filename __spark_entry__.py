@@ -232,6 +232,18 @@ def q_quality_model(spark, sf_dir):
     )
 
 
+def q_repetition_filters(spark, sf_dir):
+    """Complete Gopher repetition family (Rae et al. 2021 §A1.1): top
+    2/3/4-gram character fractions, duplicate 5..10-gram character
+    fractions, duplicate-paragraph count+char fractions, composite keep —
+    all sorted-run folds, zero shuffle."""
+    from rag_pdf_parser_spark.functions import repetition_features_expr
+
+    d = _t(spark, sf_dir, "documents")
+    rf = repetition_features_expr(F.col("text"))
+    return d.select("doc_id", *[c.alias(k) for k, c in rf.items()])
+
+
 def q_url_filter(spark, sf_dir):
     """C4-style URL gate over synthesized urls: domain blocklist matches the
     host AND every subdomain (bounded suffix-chain explode + broadcast
@@ -1153,6 +1165,8 @@ _EXTRA_KEYS = (
     "url_filter",
     # hashed linear quality classifier — kernel-golden twin in extras
     "quality_model",
+    # full Gopher repetition family — independent DuckDB twin in extras
+    "repetition_filters",
 )
 
 
@@ -1187,6 +1201,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_normalize": q_url_normalize,
         "url_filter": q_url_filter,
         "quality_model": q_quality_model,
+        "repetition_filters": q_repetition_filters,
         "doc_stats_by_lang": q_doc_stats_by_lang,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "minhash_word_pairs": q_minhash_word_pairs,
@@ -1425,6 +1440,87 @@ FROM buckets l JOIN buckets r
   ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id
 """
 
+def _repetition_filters_sql() -> str:
+    """Independent DuckDB twin of repetition_features_expr: per-n gram
+    tables via list_slice, GROUP BY counts, top gram by (count DESC, gram
+    ASC) — the same tie rule as the Spark sorted-run fold's strict-> update
+    — and Σ(c-1)·len(g) duplicate-char accounting."""
+    tops = {2: 0.20, 3: 0.18, 4: 0.16}
+    dups = {5: 0.15, 6: 0.14, 7: 0.13, 8: 0.12, 9: 0.11, 10: 0.10}
+    ctes = [
+        "base AS (SELECT doc_id, text,"
+        " greatest(length(text)::DOUBLE, 1.0) AS tc FROM documents)",
+        "tok AS (SELECT doc_id,"
+        " list_filter(string_split_regex(lower(trim(text)), '\\s+'),"
+        " w -> length(w) > 0) AS tk FROM base)",
+    ]
+    for n in list(tops) + list(dups):
+        ctes.append(
+            f"g{n} AS (SELECT doc_id,"
+            f" array_to_string(list_slice(tk, i, i + {n - 1}), ' ') AS g"
+            f" FROM (SELECT doc_id, tk,"
+            f" unnest(range(1, greatest(len(tk) - {n - 1}, 0) + 1)) AS i"
+            f" FROM tok))")
+        ctes.append(
+            f"c{n} AS (SELECT doc_id, g, count(*) AS c FROM g{n}"
+            f" GROUP BY doc_id, g)")
+    for n in tops:
+        ctes.append(
+            f"top{n} AS (SELECT doc_id, c * length(g) AS chars FROM"
+            f" (SELECT doc_id, g, c, row_number() OVER"
+            f" (PARTITION BY doc_id ORDER BY c DESC, g ASC) AS rn"
+            f" FROM c{n}) WHERE rn = 1)")
+    for n in dups:
+        ctes.append(
+            f"dup{n} AS (SELECT doc_id, sum((c - 1) * length(g)) AS chars"
+            f" FROM c{n} WHERE c > 1 GROUP BY doc_id)")
+    ctes.append(
+        "paras AS (SELECT doc_id,"
+        " list_filter(list_transform(string_split(text, chr(10) || chr(10)),"
+        " p -> trim(p)), p -> length(p) > 0) AS ps FROM base)")
+    ctes.append(
+        "pc AS (SELECT doc_id, p, count(*) AS c FROM"
+        " (SELECT doc_id, unnest(ps) AS p FROM paras) GROUP BY doc_id, p)")
+    ctes.append(
+        "dpara AS (SELECT doc_id, sum(c - 1) AS dcount,"
+        " sum((c - 1) * length(p)) AS dchars FROM pc WHERE c > 1"
+        " GROUP BY doc_id)")
+    ctes.append(
+        "np AS (SELECT doc_id, greatest(len(ps)::DOUBLE, 1.0) AS n_paras"
+        " FROM paras)")
+
+    cols, keeps, joins = [], [], []
+    for n in tops:
+        cols.append(
+            f"round(least(COALESCE(top{n}.chars, 0)::DOUBLE / base.tc, 1.0),"
+            f" 6) AS top_{n}gram_char_frac")
+        keeps.append(
+            f"least(COALESCE(top{n}.chars, 0)::DOUBLE / base.tc, 1.0)"
+            f" <= {tops[n]}")
+        joins.append(f"LEFT JOIN top{n} ON top{n}.doc_id = base.doc_id")
+    for n in dups:
+        cols.append(
+            f"round(least(COALESCE(dup{n}.chars, 0)::DOUBLE / base.tc, 1.0),"
+            f" 6) AS dup_{n}gram_char_frac")
+        keeps.append(
+            f"least(COALESCE(dup{n}.chars, 0)::DOUBLE / base.tc, 1.0)"
+            f" <= {dups[n]}")
+        joins.append(f"LEFT JOIN dup{n} ON dup{n}.doc_id = base.doc_id")
+    cols.append("round(COALESCE(dpara.dcount, 0)::DOUBLE / np.n_paras, 6)"
+                " AS dup_para_frac")
+    cols.append("round(least(COALESCE(dpara.dchars, 0)::DOUBLE / base.tc,"
+                " 1.0), 6) AS dup_para_char_frac")
+    keeps.append("COALESCE(dpara.dcount, 0)::DOUBLE / np.n_paras <= 0.30")
+    keeps.append(
+        "least(COALESCE(dpara.dchars, 0)::DOUBLE / base.tc, 1.0) <= 0.20")
+    joins.append("LEFT JOIN dpara ON dpara.doc_id = base.doc_id")
+    joins.append("JOIN np ON np.doc_id = base.doc_id")
+    cols.append("(" + " AND ".join(keeps) + ") AS repetition_keep")
+    return ("WITH " + ",\n".join(ctes) + "\nSELECT base.doc_id, "
+            + ",\n       ".join(cols) + "\nFROM base "
+            + " ".join(joins))
+
+
 _URL_FILTER_SQL = """
 WITH u AS (
   SELECT doc_id,
@@ -1620,6 +1716,7 @@ def _oracle_sql_all() -> dict[str, str]:
         "minhash_lsh_pairs": _MINHASH_SQL,
         "minhash_word_pairs": _MINHASH_WORD_SQL,
         "url_filter": _URL_FILTER_SQL,
+        "repetition_filters": _repetition_filters_sql(),
         "jaccard_pairs": _JACCARD_SQL,
         "simhash16": _simhash16_sql(),
         "knn_cosine": _KNN_SQL,

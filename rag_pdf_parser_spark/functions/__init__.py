@@ -461,3 +461,122 @@ def quality_model_score_expr(text: Column,
         "quality_p": F.lit(1.0) / (F.lit(1.0) + F.exp(-score)),
         "model_keep": score > 0,
     }
+
+
+# --- full Gopher repetition suite (Rae et al. 2021 §A1.1) -------------------
+
+def _shift_gram_chain(low: Column, n_max: int) -> dict[int, Column]:
+    """Word n-gram arrays for n=2..n_max, each built from the previous by
+    one zip_with against the (n-1)-shifted token array — every reference is
+    a constant-count O(tokens) pass (no per-element derived-array
+    re-evaluation)."""
+    grams: dict[int, Column] = {1: low}
+    for n in range(2, n_max + 1):
+        shifted = F.slice(low, n, F.greatest(F.size(low) - (n - 1),
+                                             F.lit(0)))
+        grams[n] = F.filter(
+            F.zip_with(grams[n - 1], shifted,
+                       lambda a, b: F.when(b.isNotNull(),
+                                           F.concat(a, F.lit(" "), b))),
+            lambda x: x.isNotNull(),
+        )
+    return grams
+
+
+def _top_gram_chars(sorted_grams: Column) -> Column:
+    """Characters covered by the most frequent gram: count(top) × len(top),
+    ties broken toward the lexicographically smallest gram (strict-> update
+    over the sorted array — deterministic, mirrored by the oracle's
+    ORDER BY count DESC, gram ASC LIMIT 1)."""
+    acc = F.aggregate(
+        sorted_grams,
+        F.struct(F.lit("").alias("prev"), F.lit(0).alias("run"),
+                 F.lit(0).alias("best"), F.lit(0).alias("blen")),
+        lambda a, g: F.struct(
+            g.alias("prev"),
+            F.when(g == a["prev"], a["run"] + 1).otherwise(F.lit(1))
+            .alias("run"),
+            F.greatest(a["best"],
+                       F.when(g == a["prev"], a["run"] + 1)
+                       .otherwise(F.lit(1))).alias("best"),
+            F.when(
+                F.when(g == a["prev"], a["run"] + 1).otherwise(F.lit(1))
+                > a["best"], F.length(g)
+            ).otherwise(a["blen"]).alias("blen"),
+        ),
+    )
+    return (acc["best"] * acc["blen"]).cast("double")
+
+
+def _dup_gram_chars(sorted_grams: Column) -> Column:
+    """Characters in duplicate grams: Σ over distinct grams with count c>1
+    of (c-1)·len(gram) — the standard overlap-agnostic Gopher accounting
+    (every occurrence beyond the first counts its characters)."""
+    acc = F.aggregate(
+        sorted_grams,
+        F.struct(F.lit("").alias("prev"), F.lit(0).alias("dc")),
+        lambda a, g: F.struct(
+            g.alias("prev"),
+            (a["dc"] + F.when(g == a["prev"], F.length(g))
+             .otherwise(F.lit(0))).alias("dc"),
+        ),
+    )
+    return acc["dc"].cast("double")
+
+
+def repetition_features_expr(text: Column) -> dict[str, Column]:
+    """The COMPLETE Gopher repetition-filter family (Rae et al. 2021
+    §A1.1), beyond the subset in `gopher_features_expr`:
+
+    - top n-gram CHARACTER fraction for n ∈ {2,3,4} (chars covered by the
+      single most frequent word n-gram / total chars),
+    - duplicate n-gram character fraction for n ∈ {5..10} (chars in all
+      occurrences beyond the first of each distinct n-gram / total chars,
+      overlap-agnostic, capped at 1),
+    - duplicate paragraph fraction + duplicate paragraph CHARACTER
+      fraction (paragraphs = '\\n\\n'-separated, trimmed, non-empty).
+
+    All per-doc O(tokens·n_max + n log n) sorted-run folds — zero shuffle,
+    zero UDF; Gopher's published thresholds (drop if top-2-gram chars >
+    0.20, …, dup-5-gram chars > 0.15, dup paragraphs > 0.30) are applied
+    in `repetition_keep`."""
+    total_chars = F.greatest(F.length(text).cast("double"), F.lit(1.0))
+    low = F.filter(F.split(F.lower(F.trim(text)), r"\s+"),
+                   lambda t: F.length(t) > 0)
+    grams = _shift_gram_chain(low, 10)
+    out: dict[str, Column] = {}
+    top_thresholds = {2: 0.20, 3: 0.18, 4: 0.16}
+    dup_thresholds = {5: 0.15, 6: 0.14, 7: 0.13, 8: 0.12, 9: 0.11, 10: 0.10}
+    keep = F.lit(True)
+    for n in (2, 3, 4):
+        frac = F.least(_top_gram_chars(F.array_sort(grams[n])) / total_chars,
+                       F.lit(1.0))
+        out[f"top_{n}gram_char_frac"] = F.round(frac, 6)
+        keep = keep & (frac <= top_thresholds[n])
+    for n in range(5, 11):
+        frac = F.least(_dup_gram_chars(F.array_sort(grams[n])) / total_chars,
+                       F.lit(1.0))
+        out[f"dup_{n}gram_char_frac"] = F.round(frac, 6)
+        keep = keep & (frac <= dup_thresholds[n])
+    paras = F.filter(
+        F.transform(F.split(text, r"\n\n", -1), lambda p: F.trim(p)),
+        lambda p: F.length(p) > 0,
+    )
+    n_paras = F.greatest(F.size(paras).cast("double"), F.lit(1.0))
+    sorted_p = F.array_sort(paras)
+    dup_para_count = F.aggregate(
+        sorted_p,
+        F.struct(F.lit("").alias("prev"), F.lit(0).alias("d")),
+        lambda a, p: F.struct(
+            p.alias("prev"),
+            (a["d"] + F.when(p == a["prev"], 1).otherwise(0)).alias("d"),
+        ),
+    )["d"].cast("double")
+    dup_para_frac = dup_para_count / n_paras
+    dup_para_char_frac = F.least(_dup_gram_chars(sorted_p) / total_chars,
+                                 F.lit(1.0))
+    out["dup_para_frac"] = F.round(dup_para_frac, 6)
+    out["dup_para_char_frac"] = F.round(dup_para_char_frac, 6)
+    keep = keep & (dup_para_frac <= 0.30) & (dup_para_char_frac <= 0.20)
+    out["repetition_keep"] = keep
+    return out

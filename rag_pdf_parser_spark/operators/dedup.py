@@ -203,7 +203,17 @@ def lsh_candidate_pairs(df: DataFrame, id_col: str = "doc_id",
     members are effectively exact dups — the cheaper exact/normalized dedup
     lane catches them; this is the standard guard in large-scale MinHash
     dedup pipelines). None = uncapped (exact semantics, the oracle-checked
-    configuration)."""
+    configuration).
+
+    Shape note (measured at sf0.1, 870,708 pairs): the equi-SELF-JOIN is
+    the right formulation even though it computes the signature pipeline
+    twice (no ReusedExchange across the broadcast build side; 3.6 s total).
+    The tempting alternatives both lose: localCheckpoint-then-join pays the
+    materialization sync (4.6 s), and groupBy(collect_list) + nested
+    transform/slice pair expansion materializes each bucket's full O(m²)
+    struct array in memory before the Generate copies it per output row —
+    the 37× Generate-copy trap in another costume (8.1 s, 2.3× slower).
+    The join streams pairs without ever materializing a bucket."""
     buckets = lsh_buckets(df, id_col, text_col, n, num_perm, bands, flavor,
                           shingle)
     if max_bucket is not None:

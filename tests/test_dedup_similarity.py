@@ -421,6 +421,41 @@ def test_url_filter_gate(spark):
         == [1, 2]
 
 
+def test_repetition_features_known_values(spark):
+    """Hand-computed Gopher repetition stats on constructed docs."""
+    from rag_pdf_parser_spark.functions import repetition_features_expr
+
+    # doc 1: "ab cd " ×4 → top bigram 'ab cd' count 4, len 5 → 20/24 chars
+    t1 = "ab cd ab cd ab cd ab cd"
+    # doc 2: no repetition at all (short tokens so even the count-1 "top"
+    # gram covers few chars)
+    t2 = "aa bb cc dd ee ff gg hh ii jj"
+    # doc 3: duplicate paragraphs
+    t3 = "para one here\n\npara one here\n\nunique tail"
+    df = spark.createDataFrame(
+        [(1, t1), (2, t2), (3, t3)], "doc_id long, text string")
+    rf = repetition_features_expr(F.col("text"))
+    got = {r["doc_id"]: r for r in df.select(
+        "doc_id", *[c.alias(k) for k, c in rf.items()]).collect()}
+
+    # t1: len=23 chars; bigrams: 'ab cd'(4) 'cd ab'(3); top = 4*5=20/23
+    assert got[1]["top_2gram_char_frac"] == pytest.approx(20 / 23, abs=1e-6)
+    assert not got[1]["repetition_keep"]
+    # 5-grams of t1: 'ab cd ab cd ab'(2), 'cd ab cd ab cd'(2) → dup chars
+    # = (2-1)*14 *2 = 28 → capped ratio 28/23 → 1.0
+    assert got[1]["dup_5gram_char_frac"] == 1.0
+    # all bigrams occur once; tie → lexicographically smallest ('aa bb',
+    # 5 chars of 29)
+    assert got[2]["top_2gram_char_frac"] == pytest.approx(5 / 29, abs=1e-6)
+    assert got[2]["dup_5gram_char_frac"] == 0.0
+    assert got[2]["dup_para_frac"] == 0.0
+    # t3: 3 paragraphs, one duplicated once → dup_para_frac = 1/3;
+    # dup chars = 13 of 41 total chars
+    assert got[3]["dup_para_frac"] == pytest.approx(1 / 3, abs=1e-6)
+    assert got[3]["dup_para_char_frac"] == pytest.approx(13 / 41, abs=1e-6)
+    assert not got[3]["repetition_keep"]  # 1/3 > 0.30
+
+
 def test_quality_model_bit_exact_vs_twin(spark):
     """Hashed linear quality classifier: Spark fold == pure-Python twin
     BIT-exactly (no rounding needed — literal weights, IEEE-deterministic
