@@ -174,6 +174,49 @@ def main() -> None:
     ))
     assert "partial_count" in cld_exec, "line counting must map-side combine"
 
+    # 12. round-4 operators
+    # repetition filters: pure per-row expressions — zero Exchange
+    rep = E.q_repetition_filters(spark, SF)
+    rep_exec = rep._jdf.queryExecution().executedPlan().toString()
+    sections.append((
+        "full Gopher repetition family (zero-shuffle projection)",
+        plan_of(rep), ["Scan parquet"],
+    ))
+    assert "Exchange" not in rep_exec, "repetition family must not shuffle"
+
+    # quality classifier: zero Exchange, no UDF
+    qm = E.q_quality_model(spark, SF)
+    qm_exec = qm._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in qm_exec, "quality model must not shuffle"
+    assert "Python" not in qm_exec and "MapInPandas" not in qm_exec, \
+        "quality model must be pure expressions"
+    sections.append((
+        "hashed linear quality classifier (zero-shuffle, no Python)",
+        plan_of(qm), ["Scan parquet"],
+    ))
+
+    # URL gate: broadcast semi-equi-join on the suffix chain, never a
+    # nested-loop endswith scan
+    uf = E.q_url_filter(spark, SF)
+    uf_exec = uf._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in uf_exec, \
+        "url gate must not nested-loop"
+    assert "BroadcastHashJoin" in uf_exec, "blocklist join must broadcast"
+    sections.append((
+        "URL/domain gate (suffix-chain broadcast equi-join)",
+        plan_of(uf), ["BroadcastHashJoin"],
+    ))
+
+    # simhash banded pairs: hash/merge equi-join on (band, chunk), no BNLJ
+    sd = E.q_simhash_near_dups(spark, SF)
+    sd_exec = sd._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in sd_exec, \
+        "banded simhash pairs must equi-join"
+    sections.append((
+        "SimHash banded near-dup pairs (equi-join blocking)",
+        plan_of(sd), ["Join"],
+    ))
+
     out = ["# PLANS — physical-plan audit (generated by scripts/explain_audit.py)\n"]
     failures = []
     for title, plan, expects in sections:
