@@ -101,6 +101,25 @@ def test_crash_between_sinks_and_manifest_commit(spark, tmp_path):
     assert p.read_docs().count() == 60
 
 
+def test_pipeline_json_sinks_with_commit_layout(spark, tmp_path):
+    """fmt='json' (the reference's JSONL sinks) must work with the
+    batch_id-partitioned commit layout: line-delimited files under
+    batch_id=<token> dirs, committed readers pruning as for parquet."""
+    pages = synth_pages(spark, 20)
+    p = ExtractionPipeline(spark, str(tmp_path / "j"), partitions=2)
+    r = p.run(pages, run_id="r1", with_chunks=True, fmt="json")
+    assert r["docs_processed"] == 20
+    docs = p.read_docs(fmt="json")
+    assert docs.count() == 20 and "batch_id" not in docs.columns
+    assert p.read_chunks(fmt="json").count() > 0
+    # the sink layout is really JSONL under batch partitions
+    batch_dirs = [d for d in os.listdir(p.docs_path)
+                  if d.startswith("batch_id=")]
+    assert len(batch_dirs) == 1
+    inner = os.listdir(os.path.join(p.docs_path, batch_dirs[0]))
+    assert any(f.endswith(".json") for f in inner), inner
+
+
 def test_pipeline_url_gate_blocks_before_extraction(spark, tmp_path):
     """url_blocklist: blocked pages never reach the content sinks, are
     manifest-recorded as URL_BLOCKED (so resume skips them forever), and
