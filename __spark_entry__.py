@@ -221,15 +221,11 @@ def q_quality_model(spark, sf_dir):
     linear score is BIT-exact vs the pure-Python twin (literal weights, one
     IEEE-deterministic fold); sigmoid calibration is monotone so keep
     decisions threshold the linear score."""
-    from rag_pdf_parser_spark.functions import quality_model_score_expr
+    from rag_pdf_parser_spark.functions import with_quality_model
 
     d = _t(spark, sf_dir, "documents")
-    qm = quality_model_score_expr(F.col("text"))
-    return d.select(
-        "doc_id",
-        F.round(qm["score_lin"], 6).alias("score_lin"),
-        qm["model_keep"].alias("model_keep"),
-    )
+    return with_quality_model(d.select("doc_id", "text")).select(
+        "doc_id", F.round("score_lin", 6).alias("score_lin"), "model_keep")
 
 
 def q_repetition_filters(spark, sf_dir):
@@ -237,11 +233,10 @@ def q_repetition_filters(spark, sf_dir):
     2/3/4-gram character fractions, duplicate 5..10-gram character
     fractions, duplicate-paragraph count+char fractions, composite keep —
     all sorted-run folds, zero shuffle."""
-    from rag_pdf_parser_spark.functions import repetition_features_expr
+    from rag_pdf_parser_spark.functions import with_repetition_features
 
     d = _t(spark, sf_dir, "documents")
-    rf = repetition_features_expr(F.col("text"))
-    return d.select("doc_id", *[c.alias(k) for k, c in rf.items()])
+    return with_repetition_features(d.select("doc_id", "text")).drop("text")
 
 
 def q_url_filter(spark, sf_dir):
@@ -1495,24 +1490,26 @@ def _repetition_filters_sql() -> str:
             f"round(least(COALESCE(top{n}.chars, 0)::DOUBLE / base.tc, 1.0),"
             f" 6) AS top_{n}gram_char_frac")
         keeps.append(
-            f"least(COALESCE(top{n}.chars, 0)::DOUBLE / base.tc, 1.0)"
-            f" <= {tops[n]}")
+            f"round(least(COALESCE(top{n}.chars, 0)::DOUBLE / base.tc, 1.0),"
+            f" 6) <= {tops[n]}")
         joins.append(f"LEFT JOIN top{n} ON top{n}.doc_id = base.doc_id")
     for n in dups:
         cols.append(
             f"round(least(COALESCE(dup{n}.chars, 0)::DOUBLE / base.tc, 1.0),"
             f" 6) AS dup_{n}gram_char_frac")
         keeps.append(
-            f"least(COALESCE(dup{n}.chars, 0)::DOUBLE / base.tc, 1.0)"
-            f" <= {dups[n]}")
+            f"round(least(COALESCE(dup{n}.chars, 0)::DOUBLE / base.tc, 1.0),"
+            f" 6) <= {dups[n]}")
         joins.append(f"LEFT JOIN dup{n} ON dup{n}.doc_id = base.doc_id")
     cols.append("round(COALESCE(dpara.dcount, 0)::DOUBLE / np.n_paras, 6)"
                 " AS dup_para_frac")
     cols.append("round(least(COALESCE(dpara.dchars, 0)::DOUBLE / base.tc,"
                 " 1.0), 6) AS dup_para_char_frac")
-    keeps.append("COALESCE(dpara.dcount, 0)::DOUBLE / np.n_paras <= 0.30")
     keeps.append(
-        "least(COALESCE(dpara.dchars, 0)::DOUBLE / base.tc, 1.0) <= 0.20")
+        "round(COALESCE(dpara.dcount, 0)::DOUBLE / np.n_paras, 6) <= 0.30")
+    keeps.append(
+        "round(least(COALESCE(dpara.dchars, 0)::DOUBLE / base.tc, 1.0), 6)"
+        " <= 0.20")
     joins.append("LEFT JOIN dpara ON dpara.doc_id = base.doc_id")
     joins.append("JOIN np ON np.doc_id = base.doc_id")
     cols.append("(" + " AND ".join(keeps) + ") AS repetition_keep")

@@ -7,6 +7,8 @@ function (unit-tested equal) and a reference behavior (cited).
 
 from __future__ import annotations
 
+from functools import lru_cache as _lru_cache
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -399,6 +401,18 @@ def pii_scrub_expr(text: Column) -> dict[str, Column]:
 QUALITY_MODEL_DIM = 128
 
 
+@_lru_cache(maxsize=8)
+def _qmw_list(dim: int, seed: int) -> tuple:
+    import hashlib
+
+    def w(tag):
+        h = int.from_bytes(
+            hashlib.sha256(f"qw-{seed}-{tag}".encode()).digest()[:8], "big")
+        return (h / 2.0 ** 63) - 1.0  # [-1, 1)
+
+    return tuple(w(i) for i in range(dim)), w("bias")
+
+
 def quality_model_weights(dim: int = QUALITY_MODEL_DIM,
                           seed: int = 13) -> tuple[list[float], float]:
     """Deterministic stand-in parameters for the model-based quality
@@ -407,45 +421,36 @@ def quality_model_weights(dim: int = QUALITY_MODEL_DIM,
     model artifact; the sandbox has no model file, so a seeded sha256 chain
     generates a fixed pseudo-model — the INFERENCE path (feature hashing,
     weight lookup, fold, calibration) is the real, tested component.
-    Returns (weights[dim], bias)."""
-    import hashlib
-
-    def w(tag):
-        h = int.from_bytes(
-            hashlib.sha256(f"qw-{seed}-{tag}".encode()).digest()[:8], "big")
-        return (h / 2.0 ** 63) - 1.0  # [-1, 1)
-
-    return [w(i) for i in range(dim)], w("bias")
+    Returns (weights[dim], bias). Cached — oracle twins call this per row."""
+    ws, bias = _qmw_list(dim, seed)
+    return list(ws), bias
 
 
 def quality_model_score_expr(text: Column,
                              dim: int = QUALITY_MODEL_DIM,
-                             seed: int = 13) -> dict[str, Column]:
-    """Linear text-quality classifier over hashed unigram+bigram features
-    (the 'hashing trick' a la fastText/CCNet): feature f → bucket
+                             seed: int = 13) -> Column:
+    """Linear text-quality classifier score over hashed unigram+bigram
+    features (the 'hashing trick' a la fastText/CCNet): feature f → bucket
     pmod(xxhash64(f), dim) → weight lookup → mean over features + bias.
+    NULL text behaves as empty (scores exactly the bias) — a NULL score
+    would make a keep/drop gate silently lose the row from both branches.
 
-    score_lin is BIT-exact across engines (literal weights, one
-    left-to-right fold — IEEE addition is order-deterministic, no
-    transcendental ops), so the oracle compares it exactly; `quality_p`
-    applies the monotone sigmoid calibration (exp may differ by an ULP
-    across libms — thresholding on score_lin is equivalent and exact).
+    BIT-exact across engines (literal weights, one left-to-right fold —
+    IEEE addition is order-deterministic, no transcendental ops), so the
+    oracle compares it exactly.
+
+    Returns the raw score COLUMN — one fold. Derive the sigmoid/keep from
+    it in a SECOND select (`with_quality_model`): putting all three in one
+    projection re-inlines the whole fold per reference (CollapseProject
+    duplicates non-cheap siblings).
 
     Scale shape: pure expressions, zero shuffle, O(tokens) — the weight
     array rides the plan as a literal (a real model's ~10^5-dim weights
     would ship via broadcast + `F.element_at` on a map/array column
     instead; same plan shape)."""
     ws, bias = quality_model_weights(dim, seed)
-    toks = F.filter(F.split(normalized_text_expr(text), " "),
-                    lambda t: F.length(t) > 0)
-    n = F.size(toks)
-    bigrams = F.filter(
-        F.zip_with(toks, F.slice(toks, 2, F.greatest(n - 1, F.lit(0))),
-                   lambda a, b: F.when(b.isNotNull(),
-                                       F.concat(a, F.lit(" "), b))),
-        lambda x: x.isNotNull(),
-    )
-    feats = F.concat(toks, bigrams)
+    toks = word_tokens_expr(F.coalesce(text, F.lit("")))
+    feats = F.concat(toks, word_ngram_chain_expr(toks, 2)[2])
     weights = F.array(*[F.lit(float(x)) for x in ws])
     # hash each feature ONCE in a projection, then fold weight lookups —
     # only an element_at happens inside the accumulator (HOF trap avoided)
@@ -454,26 +459,47 @@ def quality_model_score_expr(text: Column,
         buckets, F.lit(0.0),
         lambda acc, b: acc + F.element_at(weights, b.cast("int") + 1),
     )
-    score = total / F.greatest(F.size(feats), F.lit(1)).cast("double") \
+    return total / F.greatest(F.size(feats), F.lit(1)).cast("double") \
         + F.lit(float(bias))
-    return {
-        "score_lin": score,
-        "quality_p": F.lit(1.0) / (F.lit(1.0) + F.exp(-score)),
-        "model_keep": score > 0,
-    }
 
 
-# --- full Gopher repetition suite (Rae et al. 2021 §A1.1) -------------------
+def with_quality_model(df, text_col: str = "text",
+                       dim: int = QUALITY_MODEL_DIM, seed: int = 13):
+    """df + score_lin / quality_p (monotone sigmoid calibration — exp may
+    differ by an ULP across libms, so thresholds belong on score_lin) /
+    model_keep. Two selects so the feature fold runs ONCE (the derived
+    columns reference the score ATTRIBUTE, which CollapseProject refuses
+    to re-inline for multiply-referenced non-cheap expressions)."""
+    staged = df.withColumn(
+        "score_lin", quality_model_score_expr(F.col(text_col), dim, seed))
+    s = F.col("score_lin")
+    return (staged
+            .withColumn("quality_p", F.lit(1.0) / (F.lit(1.0) + F.exp(-s)))
+            .withColumn("model_keep", s > 0))
 
-def _shift_gram_chain(low: Column, n_max: int) -> dict[int, Column]:
-    """Word n-gram arrays for n=2..n_max, each built from the previous by
+
+# --- word n-gram primitives (shared by dedup / repetition / quality) --------
+
+def word_tokens_expr(text: Column, pre_normalized: bool = False) -> Column:
+    """Non-empty whitespace tokens of the normalized text."""
+    norm = text if pre_normalized else normalized_text_expr(text)
+    return F.filter(F.split(norm, " " if pre_normalized else r"\s+"),
+                    lambda t: F.length(t) > 0)
+
+
+def word_ngram_chain_expr(toks: Column, n_max: int) -> dict[int, Column]:
+    """Word n-gram arrays for n=1..n_max, each built from the previous by
     one zip_with against the (n-1)-shifted token array — every reference is
-    a constant-count O(tokens) pass (no per-element derived-array
-    re-evaluation)."""
-    grams: dict[int, Column] = {1: low}
+    a constant-count O(tokens) pass. THE canonical gram-fold idiom: building
+    grams with `transform(sequence, i -> slice/element_at(...))` instead
+    re-evaluates the derived array PER ELEMENT (the HOF O(n²) trap — the
+    19.4 s → 2.2 s bigram lesson, see gopher_features_expr). Single home
+    for the idiom; decontamination, word-MinHash, the repetition family,
+    and the quality classifier all consume it from here."""
+    grams: dict[int, Column] = {1: toks}
     for n in range(2, n_max + 1):
-        shifted = F.slice(low, n, F.greatest(F.size(low) - (n - 1),
-                                             F.lit(0)))
+        shifted = F.slice(toks, n, F.greatest(F.size(toks) - (n - 1),
+                                              F.lit(0)))
         grams[n] = F.filter(
             F.zip_with(grams[n - 1], shifted,
                        lambda a, b: F.when(b.isNotNull(),
@@ -481,6 +507,18 @@ def _shift_gram_chain(low: Column, n_max: int) -> dict[int, Column]:
             lambda x: x.isNotNull(),
         )
     return grams
+
+
+def token_ngrams_expr(text: Column, n: int = 13,
+                      pre_normalized: bool = False) -> Column:
+    """Array of token n-grams of the normalized text (the decontamination /
+    word-shingle building block). `pre_normalized=True` skips the
+    lower+ws-collapse when the caller already normalized."""
+    toks = word_tokens_expr(text, pre_normalized)
+    return word_ngram_chain_expr(toks, n)[n]
+
+
+# --- full Gopher repetition suite (Rae et al. 2021 §A1.1) -------------------
 
 
 def _top_gram_chars(sorted_grams: Column) -> Column:
@@ -524,6 +562,12 @@ def _dup_gram_chars(sorted_grams: Column) -> Column:
     return acc["dc"].cast("double")
 
 
+#: Gopher §A1.1 published removal thresholds
+REPETITION_TOP_THRESHOLDS = {2: 0.20, 3: 0.18, 4: 0.16}
+REPETITION_DUP_THRESHOLDS = {5: 0.15, 6: 0.14, 7: 0.13, 8: 0.12,
+                             9: 0.11, 10: 0.10}
+
+
 def repetition_features_expr(text: Column) -> dict[str, Column]:
     """The COMPLETE Gopher repetition-filter family (Rae et al. 2021
     §A1.1), beyond the subset in `gopher_features_expr`:
@@ -537,29 +581,30 @@ def repetition_features_expr(text: Column) -> dict[str, Column]:
       fraction (paragraphs = '\\n\\n'-separated, trimmed, non-empty).
 
     All per-doc O(tokens·n_max + n log n) sorted-run folds — zero shuffle,
-    zero UDF; Gopher's published thresholds (drop if top-2-gram chars >
-    0.20, …, dup-5-gram chars > 0.15, dup paragraphs > 0.30) are applied
-    in `repetition_keep`."""
-    total_chars = F.greatest(F.length(text).cast("double"), F.lit(1.0))
-    low = F.filter(F.split(F.lower(F.trim(text)), r"\s+"),
-                   lambda t: F.length(t) > 0)
-    grams = _shift_gram_chain(low, 10)
+    zero UDF. NULL text behaves as empty (all fractions 0 — mirrored by
+    the DuckDB twin's COALESCE-free NULL arithmetic, which yields the same
+    zeros via its LEFT JOIN defaults).
+
+    NOTE: each returned Column embeds its own fold — projecting them all
+    in ONE select duplicates nothing, but adding `repetition_keep` (which
+    reads every fraction) in the same select would re-inline every fold
+    (CollapseProject does not share non-cheap siblings). Use
+    `with_repetition_features` for the full table including the keep flag
+    — it stages two selects so each fold runs ONCE."""
+    safe = F.coalesce(text, F.lit(""))
+    total_chars = F.greatest(F.length(safe).cast("double"), F.lit(1.0))
+    grams = word_ngram_chain_expr(word_tokens_expr(safe), 10)
     out: dict[str, Column] = {}
-    top_thresholds = {2: 0.20, 3: 0.18, 4: 0.16}
-    dup_thresholds = {5: 0.15, 6: 0.14, 7: 0.13, 8: 0.12, 9: 0.11, 10: 0.10}
-    keep = F.lit(True)
     for n in (2, 3, 4):
         frac = F.least(_top_gram_chars(F.array_sort(grams[n])) / total_chars,
                        F.lit(1.0))
         out[f"top_{n}gram_char_frac"] = F.round(frac, 6)
-        keep = keep & (frac <= top_thresholds[n])
     for n in range(5, 11):
         frac = F.least(_dup_gram_chars(F.array_sort(grams[n])) / total_chars,
                        F.lit(1.0))
         out[f"dup_{n}gram_char_frac"] = F.round(frac, 6)
-        keep = keep & (frac <= dup_thresholds[n])
     paras = F.filter(
-        F.transform(F.split(text, r"\n\n", -1), lambda p: F.trim(p)),
+        F.transform(F.split(safe, r"\n\n", -1), lambda p: F.trim(p)),
         lambda p: F.length(p) > 0,
     )
     n_paras = F.greatest(F.size(paras).cast("double"), F.lit(1.0))
@@ -572,11 +617,28 @@ def repetition_features_expr(text: Column) -> dict[str, Column]:
             (a["d"] + F.when(p == a["prev"], 1).otherwise(0)).alias("d"),
         ),
     )["d"].cast("double")
-    dup_para_frac = dup_para_count / n_paras
-    dup_para_char_frac = F.least(_dup_gram_chars(sorted_p) / total_chars,
-                                 F.lit(1.0))
-    out["dup_para_frac"] = F.round(dup_para_frac, 6)
-    out["dup_para_char_frac"] = F.round(dup_para_char_frac, 6)
-    keep = keep & (dup_para_frac <= 0.30) & (dup_para_char_frac <= 0.20)
-    out["repetition_keep"] = keep
+    out["dup_para_frac"] = F.round(dup_para_count / n_paras, 6)
+    out["dup_para_char_frac"] = F.round(
+        F.least(_dup_gram_chars(sorted_p) / total_chars, F.lit(1.0)), 6)
     return out
+
+
+def with_repetition_features(df, text_col: str = "text"):
+    """df + the repetition fractions + `repetition_keep` — staged as TWO
+    selects so every fold is evaluated exactly once: the keep conjunction
+    in the second select references the first select's output ATTRIBUTES,
+    which CollapseProject refuses to re-inline (each is non-cheap and
+    referenced twice: once as output, once in keep). The keep thresholds
+    therefore apply to the rounded 6-decimal fractions — a distinction
+    without a difference at these thresholds. Plan-asserted in
+    scripts/explain_audit.py (zip_with count) and tests."""
+    feats = repetition_features_expr(F.col(text_col))
+    staged = df.select("*", *[c.alias(k) for k, c in feats.items()])
+    keep = F.lit(True)
+    for n, thr in REPETITION_TOP_THRESHOLDS.items():
+        keep = keep & (F.col(f"top_{n}gram_char_frac") <= thr)
+    for n, thr in REPETITION_DUP_THRESHOLDS.items():
+        keep = keep & (F.col(f"dup_{n}gram_char_frac") <= thr)
+    keep = keep & (F.col("dup_para_frac") <= 0.30) \
+        & (F.col("dup_para_char_frac") <= 0.20)
+    return staged.withColumn("repetition_keep", keep)

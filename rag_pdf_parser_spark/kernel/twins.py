@@ -203,7 +203,7 @@ def quality_model_score(text: str, dim: int = 128, seed: int = 13) -> float:
     from ..functions import quality_model_weights
 
     ws, bias = quality_model_weights(dim, seed)
-    toks = [t for t in normalized_text(text).split(" ") if t]
+    toks = [t for t in normalized_text(text or "").split(" ") if t]
     feats = toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
     total = 0.0
     for f in feats:

@@ -24,7 +24,14 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions import normalized_text_expr, normalized_text_hash_expr
+# token_ngrams_expr lives in functions/ (the canonical home of the
+# zip-shift gram-fold idiom, shared with the repetition family and the
+# quality classifier) — re-exported here for the existing import sites.
+from ..functions import (  # noqa: F401
+    normalized_text_expr,
+    normalized_text_hash_expr,
+    token_ngrams_expr,
+)
 
 
 # --- exact -------------------------------------------------------------------
@@ -532,32 +539,6 @@ def dedup_keep_canonical(docs: DataFrame, pairs: DataFrame,
     return docs.join(drop, id_col, "left_anti")
 
 
-def token_ngrams_expr(text, n: int = 13, pre_normalized: bool = False):
-    """Array of token n-grams of the normalized text, built by FOLDING
-    zip_with over n-1 shifted slices — every reference to the token array
-    is top-level (constant count, O(tokens) each); building grams with
-    `transform(sequence, i -> slice(toks, i, n))`-style indexing instead
-    re-evaluates the derived array per element (the HOF O(n²) trap, see
-    functions.gopher_features_expr).
-
-    `pre_normalized=True` skips the lower+ws-collapse when the caller
-    already normalized (avoids double regex work in fused pipelines)."""
-    from ..functions import normalized_text_expr
-
-    norm = text if pre_normalized else normalized_text_expr(text)
-    toks = F.filter(F.split(norm, " "),
-                    lambda t: F.length(t) > 0)
-    m = F.size(toks)
-    cur = toks
-    for s in range(1, n):
-        shifted = F.slice(toks, s + 1, F.greatest(m - s, F.lit(0)))
-        cur = F.filter(
-            F.zip_with(cur, shifted,
-                       lambda a, b: F.when(b.isNotNull(),
-                                           F.concat(a, F.lit(" "), b))),
-            lambda x: x.isNotNull(),
-        )
-    return cur
 
 
 def decontaminate_flags(docs: DataFrame, benchmark_grams: DataFrame,

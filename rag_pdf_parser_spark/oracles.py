@@ -600,10 +600,9 @@ def quality_model_sql() -> str:
     the keep flag."""
     from .kernel.twins import quality_model_score, round_half_up
 
-    rows = [
-        (d, round_half_up(quality_model_score(t), 6),
-         quality_model_score(t) > 0)
-        for d, t in _oracle_documents()
-    ]
+    rows = []
+    for d, t in _oracle_documents():
+        s = quality_model_score(t)
+        rows.append((d, round_half_up(s, 6), s > 0))
     return values_sql(rows, [("doc_id", "BIGINT"), ("score_lin", "DOUBLE"),
                              ("model_keep", "BOOLEAN")])

@@ -68,7 +68,8 @@ def atomic_swap(path: str) -> None:
 def compact_table(spark: SparkSession, path: str,
                   dedup_keys: list[str],
                   partition_by: list[str] | None = None,
-                  target_files_per_partition: int = 1) -> dict:
+                  target_files_per_partition: int = 1,
+                  preserve_files: list[str] | None = None) -> dict:
     """Rewrite the parquet table at `path` with duplicate rows (by
     `dedup_keys`) collapsed and small append files coalesced — the
     MERGE-maintenance job. Preserves (or re-establishes) the
@@ -97,6 +98,14 @@ def compact_table(spark: SparkSession, path: str,
     # the tmp write is an ACTION that completes before any rename below —
     # the source read and the swap never overlap
     writer.parquet(_tmp(path))
+    # sidecar metadata (e.g. the LSH store's persisted bp modulus) must
+    # TRAVEL WITH the commit rename — copying it after the swap would leave
+    # a metadata-less store if the process dies in between (reopening the
+    # exact silent-mismatch hole the metadata exists to close)
+    for name in preserve_files or []:
+        src = os.path.join(path, name)
+        if os.path.exists(src):
+            shutil.copy2(src, os.path.join(_tmp(path), name))
     atomic_swap(path)
     out = spark.read.parquet(path)
     files_after = sum(
@@ -116,14 +125,11 @@ def compact_seen_hashes(spark: SparkSession, path: str) -> dict:
 def compact_lsh_store(spark: SparkSession, path: str) -> dict:
     """Streaming LSH bucket store maintenance: one row per (band, bucket),
     bp partition layout preserved for micro-batch pruning. The store's
-    _STORE_META.json (the persisted bp modulus — streaming/minhash.py) is
-    carried across the swap: bp values are preserved verbatim, so the
-    modulus they were computed with must be too."""
-    from ..streaming.minhash import store_meta_partitions, write_store_meta
+    _STORE_META.json (the persisted bp modulus — streaming/minhash.py)
+    rides the atomic swap via `preserve_files` — bp values are preserved
+    verbatim, so the modulus they were computed with must be too, through
+    every crash point."""
+    from ..streaming.minhash import _META_NAME
 
-    meta = store_meta_partitions(path)
-    stats = compact_table(spark, path, ["band", "bucket"],
-                          partition_by=["bp"])
-    if meta is not None:
-        write_store_meta(path, meta)
-    return stats
+    return compact_table(spark, path, ["band", "bucket"],
+                         partition_by=["bp"], preserve_files=[_META_NAME])

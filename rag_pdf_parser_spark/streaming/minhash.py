@@ -62,9 +62,17 @@ def store_meta_partitions(seen_dir: str) -> int | None:
 
 
 def write_store_meta(seen_dir: str, n_parts: int) -> None:
+    """Atomic (tmp + rename) and idempotent: an in-place truncate-write
+    could be caught mid-flush by a crash, leaving unparseable JSON that
+    bricks every later `_resolve_store_partitions`; a no-op when the meta
+    already holds the same value (the per-micro-batch call path)."""
+    if store_meta_partitions(seen_dir) == int(n_parts):
+        return
     os.makedirs(seen_dir, exist_ok=True)
-    with open(os.path.join(seen_dir, _META_NAME), "w") as f:
+    tmp = os.path.join(seen_dir, _META_NAME + ".tmp")
+    with open(tmp, "w") as f:
         json.dump({"store_partitions": int(n_parts)}, f)
+    os.replace(tmp, os.path.join(seen_dir, _META_NAME))
 
 
 def _resolve_store_partitions(seen_dir: str, requested: int) -> int:

@@ -423,7 +423,7 @@ def test_url_filter_gate(spark):
 
 def test_repetition_features_known_values(spark):
     """Hand-computed Gopher repetition stats on constructed docs."""
-    from rag_pdf_parser_spark.functions import repetition_features_expr
+    from rag_pdf_parser_spark.functions import with_repetition_features
 
     # doc 1: "ab cd " ×4 → top bigram 'ab cd' count 4, len 5 → 20/24 chars
     t1 = "ab cd ab cd ab cd ab cd"
@@ -433,10 +433,23 @@ def test_repetition_features_known_values(spark):
     # doc 3: duplicate paragraphs
     t3 = "para one here\n\npara one here\n\nunique tail"
     df = spark.createDataFrame(
-        [(1, t1), (2, t2), (3, t3)], "doc_id long, text string")
-    rf = repetition_features_expr(F.col("text"))
-    got = {r["doc_id"]: r for r in df.select(
-        "doc_id", *[c.alias(k) for k, c in rf.items()]).collect()}
+        [(1, t1), (2, t2), (3, t3), (4, None)], "doc_id long, text string")
+    out = with_repetition_features(df).drop("text")
+    got = {r["doc_id"]: r for r in out.collect()}
+
+    # NULL text behaves as empty: all fractions 0, keep true (a NULL keep
+    # would vanish from both branches of a gate — r4 review finding)
+    assert got[4]["top_2gram_char_frac"] == 0.0
+    assert got[4]["dup_para_frac"] == 0.0 and got[4]["repetition_keep"]
+
+    # single-fold plan: the two-select staging must not re-inline the gram
+    # chains for the keep conjunction — the one-select form measured 102
+    # zip_withs (every fold twice); the staged form carries ~51 (Σ n=2..10
+    # of n-1 chains per output column + small framework noise) and exactly
+    # two Projects (CollapseProject refused to merge them)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("zip_with") <= 55, plan.count("zip_with")
+    assert plan.count("Project") == 2, plan.count("Project")
 
     # t1: len=23 chars; bigrams: 'ab cd'(4) 'cd ab'(3); top = 4*5=20/23
     assert got[1]["top_2gram_char_frac"] == pytest.approx(20 / 23, abs=1e-6)
@@ -462,26 +475,32 @@ def test_quality_model_bit_exact_vs_twin(spark):
     order); empty text scores exactly the bias; bigrams affect the score
     (word order matters, unlike a pure bag of unigrams)."""
     from rag_pdf_parser_spark.functions import (
-        quality_model_score_expr,
         quality_model_weights,
+        with_quality_model,
     )
     from rag_pdf_parser_spark.kernel.twins import quality_model_score
 
     texts = ["the quick brown fox", "fox brown quick the", "", "   ",
-             "Mixed CASE text\twith\ttabs", "one"]
+             "Mixed CASE text\twith\ttabs", "one", None]
     df = spark.createDataFrame(list(enumerate(texts)), "i long, text string")
-    qm = quality_model_score_expr(F.col("text"))
-    got = {r["i"]: (r["lin"], r["p"], r["keep"]) for r in df.select(
-        "i", qm["score_lin"].alias("lin"), qm["quality_p"].alias("p"),
-        qm["model_keep"].alias("keep")).collect()}
+    out = with_quality_model(df)
+    got = {r["i"]: (r["score_lin"], r["quality_p"], r["model_keep"])
+           for r in out.collect()}
     _, bias = quality_model_weights()
     for i, t in enumerate(texts):
         assert got[i][0] == quality_model_score(t), (i, t)  # bit-exact
         assert 0.0 < got[i][1] < 1.0
         assert got[i][2] == (got[i][0] > 0)
-    assert got[2][0] == bias and got[3][0] == bias
+    # empty / whitespace-only / NULL text all score exactly the bias, with
+    # NON-null keep (a NULL keep would vanish from both gate branches)
+    assert got[2][0] == bias and got[3][0] == bias and got[6][0] == bias
+    assert got[6][2] is not None
     # word order changes bigram features, hence the score
     assert got[0][0] != got[1][0]
+    # single-fold plan: score computed once, sigmoid/keep derived from the
+    # attribute (the one aggregate belongs to the fold)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("aggregate(") <= 1, plan.count("aggregate(")
 
 
 def test_minhash_word_signature_properties(spark):

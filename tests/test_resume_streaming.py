@@ -705,10 +705,19 @@ def test_compaction_merge_equivalent(spark, tmp_path):
         "bp", store_partition_expr(F.col("band"), F.col("bucket")))
     b.write.mode("append").partitionBy("bp").parquet(lsh_path)
     b.write.mode("append").partitionBy("bp").parquet(lsh_path)
+    from rag_pdf_parser_spark.streaming.minhash import (
+        store_meta_partitions,
+        write_store_meta,
+    )
+    write_store_meta(lsh_path, 64)
     stats = compact_lsh_store(spark, lsh_path)
     # (i%4, bucket{i%6}) cycles with period 12 → 12 distinct keys of 48 rows
     assert stats["rows_before"] == 48 and stats["rows_after"] == 12, stats
     assert any(d.startswith("bp=") for d in os.listdir(lsh_path))
+    # the persisted modulus RIDES the atomic swap (copied into the tmp dir
+    # before the commit rename — a crash at any point leaves either the old
+    # store+meta or the new store+meta, never a meta-less store)
+    assert store_meta_partitions(lsh_path) == 64
 
     # crash recovery: simulate death between the two swap renames
     import shutil as sh
