@@ -1529,11 +1529,13 @@ WITH u AS (
   FROM documents
 ), h AS (
   SELECT doc_id, url,
-         regexp_extract(
-           regexp_replace(
-             regexp_replace(lower(url), '^[a-z][a-z0-9+.-]*://', ''),
-             '^[^/@?#]*@', ''),
-           '^([^/:?#]*)', 1) AS host
+         regexp_replace(
+           regexp_extract(
+             regexp_replace(
+               regexp_replace(lower(url), '^[a-z][a-z0-9+.-]*://', ''),
+               '^[^/@?#]*@', ''),
+             '^([^/:?#]*)', 1),
+           '\\.+$', '') AS host
   FROM u
 ), f AS (
   SELECT doc_id, url,

@@ -543,20 +543,27 @@ def _top_gram_chars(sorted_grams: Column) -> Column:
             ).otherwise(a["blen"]).alias("blen"),
         ),
     )
-    return (acc["best"] * acc["blen"]).cast("double")
+    # count and length each fit an int (Java strings cap at 2^31 chars) but
+    # their PRODUCT can overflow 32 bits on a pathological repeated-blob
+    # page — widen before multiplying (the DuckDB twin sums in BIGINT)
+    return (acc["best"].cast("long") * acc["blen"]).cast("double")
 
 
 def _dup_gram_chars(sorted_grams: Column) -> Column:
     """Characters in duplicate grams: Σ over distinct grams with count c>1
     of (c-1)·len(gram) — the standard overlap-agnostic Gopher accounting
     (every occurrence beyond the first counts its characters)."""
+    # LONG accumulator: the summed duplicate-gram characters can exceed
+    # 2^31 on a large repeated-blob page (dup chars approach n·doc_len) —
+    # a 32-bit wrap would turn the most repetitive possible document into
+    # frac<0 → repetition_keep=true (ANSI mode would throw instead)
     acc = F.aggregate(
         sorted_grams,
-        F.struct(F.lit("").alias("prev"), F.lit(0).alias("dc")),
+        F.struct(F.lit("").alias("prev"), F.lit(0).cast("long").alias("dc")),
         lambda a, g: F.struct(
             g.alias("prev"),
-            (a["dc"] + F.when(g == a["prev"], F.length(g))
-             .otherwise(F.lit(0))).alias("dc"),
+            (a["dc"] + F.when(g == a["prev"], F.length(g).cast("long"))
+             .otherwise(F.lit(0).cast("long"))).alias("dc"),
         ),
     )
     return acc["dc"].cast("double")

@@ -42,7 +42,10 @@ def url_host_expr(url: Column) -> Column:
     no_scheme = F.regexp_replace(u, r"^[a-z][a-z0-9+.-]*://", "")
     no_user = F.regexp_replace(no_scheme, r"^[^/@?#]*@", "")
     host = F.regexp_extract(no_user, r"^([^/:?#]*)", 1)
-    return host
+    # fully-qualified form: 'host.' is the same origin as 'host' — without
+    # the strip, 'ads.tracker.example.' would evade a 'tracker.example'
+    # blocklist entry (every suffix would carry the trailing dot)
+    return F.regexp_replace(host, r"\.+$", "")
 
 
 def host_suffixes_expr(host: Column,
@@ -59,7 +62,10 @@ def host_suffixes_expr(host: Column,
                F.array_join(F.slice(labels, n - k, k + 1), "."))
         for k in range(max_labels - 1, -1, -1)
     ]
-    return F.filter(F.array(*suffixes), lambda s: s.isNotNull())
+    # empty suffixes (empty host, empty labels) must not survive: an empty
+    # string would equi-match a blank blocklist line and flag everything
+    return F.filter(F.array(*suffixes),
+                    lambda s: s.isNotNull() & (F.length(s) > 0))
 
 
 def url_pattern_flag_expr(url: Column,
@@ -98,9 +104,11 @@ def filter_urls(docs: DataFrame, blocked_hosts: DataFrame | None = None,
             .alias("host"),
         )
         # normalize the blocklist side too: real blocklist files carry
-        # mixed case / stray whitespace, and the suffix chain is lowercase
+        # mixed case / stray whitespace / blank lines, and the suffix chain
+        # is lowercase and never empty
         blocked_norm = blocked_hosts.select(
-            F.lower(F.trim(F.col("host"))).alias("host")).distinct()
+            F.lower(F.trim(F.col("host"))).alias("host")
+        ).where(F.length("host") > 0).distinct()
         hit = (
             sfx.join(F.broadcast(blocked_norm), "host")
             .select(url_col).distinct()

@@ -151,12 +151,20 @@ class ExtractionPipeline:
     def read_chunks(self, fmt: str = "parquet") -> DataFrame:
         return self._read_committed(self.chunks_path, fmt)
 
-    def vacuum_uncommitted(self) -> int:
+    def vacuum_uncommitted(self, staging_min_age_sec: float = 3600.0) -> int:
         """Reclaim orphan batch partitions left by a mid-job crash (present
-        in a content sink, absent from the manifest commit log) plus any
+        in a content sink, absent from the manifest commit log) plus
         abandoned staging dirs. Returns the number of directories removed.
         Safe to run concurrently with readers: committed readers never look
-        at these paths."""
+        at these paths. Orphan BATCH dirs are provably dead (absent from
+        the commit log means their run already failed), but a staging dir
+        may belong to a run that is between its manifest write and its
+        commit rename RIGHT NOW — deleting it would make that rename fail
+        and abort a healthy batch — so staging dirs are only reclaimed
+        after `staging_min_age_sec` of no modification (pass 0 only when
+        no run can be in flight)."""
+        import time
+
         committed = set(self.committed_batch_ids())
         removed = 0
         for sink in (self.docs_path, self.blocks_path, self.chunks_path):
@@ -169,9 +177,16 @@ class ExtractionPipeline:
                     removed += 1
         staging_root = os.path.join(self.out_dir, "_staging")
         if os.path.isdir(staging_root):
+            now = time.time()
             for d in os.listdir(staging_root):
-                shutil.rmtree(os.path.join(staging_root, d))
-                removed += 1
+                p = os.path.join(staging_root, d)
+                try:
+                    age = now - os.path.getmtime(p)
+                except OSError:  # raced with a concurrent commit rename
+                    continue
+                if age >= staging_min_age_sec:
+                    shutil.rmtree(p)
+                    removed += 1
         return removed
 
     def _run(self, pages: DataFrame, run_id: str,
@@ -179,6 +194,16 @@ class ExtractionPipeline:
              url_blocklist: DataFrame | None = None) -> dict:
         todo = self.pending(pages)
         batch_id = f"{run_id}-{uuid.uuid4().hex[:12]}"
+        if dedupe:
+            # a seen-hashes compaction that died between its two swap
+            # renames left the store in the trash dir; restore BEFORE the
+            # exists() checks below — otherwise this run would silently
+            # pass every known duplicate and recreate a fresh store,
+            # stranding the whole hash history (recover_store is then a
+            # permanent no-op because the path exists again)
+            from .maintenance import recover_store
+
+            recover_store(self.seen_path)
         blocked_manifest = None
         n_blocked = 0
         if url_blocklist is not None:

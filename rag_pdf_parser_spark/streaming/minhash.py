@@ -165,6 +165,12 @@ def run_streaming_dedup(spark: SparkSession, src_dir: str, schema,
 
     def process(batch: DataFrame, _bid: int) -> None:
         sp = batch.sparkSession
+        # a compaction that died between its two swap renames left the
+        # store in the trash dir — restore it before anything reads or
+        # appends (appending first would strand the old buckets forever)
+        from ..plans.maintenance import recover_store
+
+        recover_store(seen_dir)
         n_parts = _resolve_store_partitions(seen_dir, store_partitions)
         buckets = (
             lsh_buckets(batch, id_col, text_col)
@@ -174,10 +180,22 @@ def run_streaming_dedup(spark: SparkSession, src_dir: str, schema,
         )
         bps = [r["bp"] for r in buckets.select("bp").distinct().collect()]
         # a store dir that exists but holds only the meta file (crash
-        # between meta write and first append) has nothing to read yet
-        has_data = os.path.isdir(seen_dir) and any(
-            d.startswith("bp=") for d in os.listdir(seen_dir))
-        seen = read_store_pruned(sp, seen_dir, bps) if has_data else None
+        # between meta write and first append) has nothing to read yet;
+        # a dir with ROOT parquet files and no bp= partitions is a
+        # pre-bp-layout (flat) store — treating it as empty would silently
+        # re-admit every seen duplicate and then corrupt the layout by
+        # appending partitions next to flat files, so reject it loudly
+        # (same doctrine as the modulus-mismatch ValueError)
+        entries = os.listdir(seen_dir) if os.path.isdir(seen_dir) else []
+        has_bp = any(d.startswith("bp=") for d in entries)
+        if not has_bp and any(f.endswith(".parquet") for f in entries):
+            raise ValueError(
+                f"LSH store at {seen_dir} has the legacy FLAT layout (root "
+                "parquet files, no bp= partitions) — rewrite it into the "
+                "partitioned layout (read, add bp via store_partition_expr, "
+                "write partitionBy('bp'), write_store_meta) before resuming"
+            )
+        seen = read_store_pruned(sp, seen_dir, bps) if has_bp else None
         novel, nb = novel_against_store(batch, seen, id_col, text_col,
                                         buckets=buckets)
         # OUTPUT FIRST, store second: if the job dies between the writes, a

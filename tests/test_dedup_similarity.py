@@ -411,6 +411,19 @@ def test_url_filter_gate(spark):
     got2 = {r["doc_id"]: r["url_blocked"]
             for r in filter_urls(docs, messy).collect()}
     assert got2[1] and got2[2] and not got2[3], got2
+
+    # trailing-dot (fully-qualified) hosts are the same origin and must not
+    # evade the blocklist; blank blocklist lines must not match anything
+    tricky = spark.createDataFrame(
+        [(10, "https://ads.tracker.example./x"),
+         (11, "https://clean.example/x"),
+         (12, "/relative/only/path")],
+        "doc_id long, url string")
+    noisy_list = spark.createDataFrame(
+        [("tracker.example",), ("   ",), ("",)], "host string")
+    got3 = {r["doc_id"]: r["url_blocked"]
+            for r in filter_urls(tricky, noisy_list).collect()}
+    assert got3 == {10: True, 11: False, 12: False}, got3
     with_null = spark.createDataFrame(
         [(1, "https://ok.site.org/x"), (2, None)], "doc_id long, url string")
     gotn = {r["doc_id"]: r["url_blocked"]

@@ -727,6 +727,82 @@ def test_compaction_merge_equivalent(spark, tmp_path):
     assert recover_store(seen_path) is False  # idempotent
 
 
+def test_pipeline_recovers_half_swapped_seen_store(spark, tmp_path):
+    """r4 review finding: a compaction crash between the two swap renames
+    leaves seen_hashes in the trash dir; the next dedupe run must RESTORE
+    it (not silently start a fresh store and pass known duplicates)."""
+    import shutil as sh
+
+    import pandas as pd
+
+    from rag_pdf_parser_spark.schema import PAGES_SCHEMA
+
+    body = b"<html><body><p>the very same page body both runs</p></body></html>"
+    mk = lambda url: (url, None, body, "", "en")  # noqa: E731
+    p1 = spark.createDataFrame(
+        pd.DataFrame([mk("https://a.example/1")],
+                     columns=["url", "warc_ts", "html", "text", "lang"]),
+        schema=PAGES_SCHEMA)
+    out = str(tmp_path / "rec")
+    pipe = ExtractionPipeline(spark, out, partitions=2)
+    pipe.run(p1, run_id="r1", with_chunks=False, dedupe=True)
+    assert os.path.exists(pipe.seen_path)
+
+    # simulate the compaction half-swap crash
+    sh.move(pipe.seen_path, pipe.seen_path + ".__compact_trash")
+
+    p2 = spark.createDataFrame(
+        pd.DataFrame([mk("https://b.example/2")],  # same CONTENT, new url
+                     columns=["url", "warc_ts", "html", "text", "lang"]),
+        schema=PAGES_SCHEMA)
+    r = pipe.run(p2, run_id="r2", with_chunks=False, dedupe=True)
+    # without recovery this would be 0 (fresh store) — the duplicate must
+    # still be recognized via the RESTORED store
+    assert r["duplicates_skipped"] == 1, r
+
+
+def test_streaming_rejects_legacy_flat_store(spark, tmp_path):
+    """A pre-bp-layout store (root parquet files, no partitions, no meta)
+    must be rejected loudly — treating it as empty would re-admit every
+    seen duplicate, then corrupt the layout by appending partitions."""
+    from rag_pdf_parser_spark.streaming.minhash import run_streaming_dedup
+
+    seen = str(tmp_path / "flat_seen")
+    spark.createDataFrame([(0, "b0")], "band int, bucket string") \
+        .coalesce(1).write.parquet(seen)  # legacy flat layout
+    src = tmp_path / "src"
+    src.mkdir()
+    spark.createDataFrame([(1, "some document text")],
+                          "doc_id long, text string") \
+        .coalesce(1).write.parquet(str(src / "f1"))
+    import glob
+    import shutil as sh
+    for i, f in enumerate(sorted(glob.glob(str(src / "f1" / "*.parquet")))):
+        sh.copy(f, src / f"part{i}.parquet")
+    sch = spark.read.parquet(str(src / "f1")).schema
+    with pytest.raises(Exception, match="FLAT layout"):
+        run_streaming_dedup(spark, str(src) + "/part*.parquet", sch,
+                            str(tmp_path / "out"), seen,
+                            str(tmp_path / "ck"))
+
+
+def test_vacuum_spares_young_staging(spark, tmp_path):
+    """The vacuum must not delete a staging dir that may belong to an
+    in-flight run (between manifest write and commit rename) — only ones
+    older than the age threshold."""
+    out = str(tmp_path / "v")
+    p = ExtractionPipeline(spark, out, partitions=2)
+    p.run(synth_pages(spark, 5), run_id="r1", with_chunks=False)
+    staging_root = os.path.join(out, "_staging")
+    young = os.path.join(staging_root, "inflight-run")
+    os.makedirs(young)
+    assert p.vacuum_uncommitted() == 0  # young dir spared, nothing orphaned
+    assert os.path.isdir(young)
+    os.utime(young, (1, 1))  # pretend it is ancient
+    assert p.vacuum_uncommitted() == 1
+    assert not os.path.exists(young)
+
+
 class TestRangeJoin:
     def _frames(self, spark):
         left = spark.createDataFrame(
