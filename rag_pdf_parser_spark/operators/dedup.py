@@ -541,6 +541,42 @@ def dedup_keep_canonical(docs: DataFrame, pairs: DataFrame,
 
 
 
+def dedup_corpus(docs: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text", jaccard_threshold: float = 0.8,
+                 n: int = 5, num_perm: int = 8, bands: int = 4,
+                 shingle: str = "char",
+                 max_bucket: int | None = 10_000) -> DataFrame:
+    """The COMPLETE near-duplicate removal pipeline in one call — the
+    published training-data recipe (Lee et al. 2022 / RefinedWeb) composed
+    from this module's tested stages:
+
+        exact/normalized dedup            (hash groupBy, min-id winner)
+      → MinHash-LSH candidate pairs       (banded bucket join, skew-capped)
+      → exact n-gram Jaccard VERIFY       (drop false LSH candidates)
+      → connected components              (pairs → clusters, min-label)
+      → keep-canonical                    (min id per cluster + unpaired)
+
+    Verification matters: LSH candidates at (num_perm=8, bands=4) include
+    low-similarity collisions; the Jaccard gate at `jaccard_threshold`
+    makes the drop decision exact. `max_bucket` caps boilerplate
+    mega-buckets (their members are exact dups — the exact lane upstream
+    already collapsed those).
+
+    Scale shape: every stage is the scale-safe formulation documented on
+    its function; the Jaccard verify is candidate-pair-bounded. Returns
+    the deduplicated corpus (all input columns).
+    """
+    out = exact_dedup(docs, text_col, id_col).drop("content_sha")
+    cands = lsh_candidate_pairs(out, id_col=id_col, text_col=text_col,
+                                n=n, num_perm=num_perm, bands=bands,
+                                shingle=shingle, max_bucket=max_bucket)
+    verified = ngram_jaccard_pairs(out, cands, id_col=id_col,
+                                   text_col=text_col, n=n) \
+        .where(F.col("jaccard") >= jaccard_threshold) \
+        .select("id_a", "id_b")
+    return dedup_keep_canonical(out, verified, id_col)
+
+
 def decontaminate_flags(docs: DataFrame, benchmark_grams: DataFrame,
                         id_col: str = "doc_id", text_col: str = "text",
                         n: int = 13, hashed: bool = False) -> DataFrame:

@@ -434,6 +434,33 @@ def test_url_filter_gate(spark):
         == [1, 2]
 
 
+def test_dedup_corpus_end_to_end(spark, docs_df):
+    """One-call near-dedup recipe: exact triplet collapses to its min id,
+    verified near-dups (Jaccard >= threshold) collapse to one canonical,
+    low-similarity LSH collisions survive the Jaccard verify, unique docs
+    pass untouched."""
+    from rag_pdf_parser_spark.operators.dedup import dedup_corpus
+
+    kept = sorted(r["doc_id"]
+                  for r in dedup_corpus(docs_df, jaccard_threshold=0.8)
+                  .collect())
+    # d00/d01/d02 identical → d00; d03/d04/d05 are one-word variants of
+    # BASE (jaccard >> 0.8 vs d00) → absorbed into d00's component;
+    # d06..d19 unique → all kept
+    assert kept == ["d00"] + [f"d{i:02d}" for i in range(6, 20)], kept
+
+    # with an impossibly high threshold the near-dup stage is inert and
+    # only exact dedup bites
+    kept2 = sorted(r["doc_id"]
+                   for r in dedup_corpus(docs_df, jaccard_threshold=1.01)
+                   .collect())
+    assert kept2 == ["d00"] + [f"d{i:02d}" for i in range(3, 20)], kept2
+
+    # columns preserved
+    out = dedup_corpus(docs_df)
+    assert set(out.columns) == {"doc_id", "text"}
+
+
 def test_repetition_features_known_values(spark):
     """Hand-computed Gopher repetition stats on constructed docs."""
     from rag_pdf_parser_spark.functions import with_repetition_features
