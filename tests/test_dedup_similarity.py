@@ -461,6 +461,68 @@ def test_dedup_corpus_end_to_end(spark, docs_df):
     assert set(out.columns) == {"doc_id", "text"}
 
 
+def test_curate_corpus_funnel(spark):
+    """Composed curation plan: per-stage funnel accounting is sequential
+    and exact, gates drop the crafted offenders, near-dedup collapses the
+    surviving duplicate pair."""
+    import random
+
+    from rag_pdf_parser_spark.kernel.twins import quality_model_score
+    from rag_pdf_parser_spark.plans.curate import (
+        curate_corpus,
+        curation_funnel,
+        flag_corpus,
+    )
+
+    rng = random.Random(3)
+    words = [f"{'abcdefghijklmnop'[rng.randrange(16)]}word{i}"
+             for i in range(70)]
+    good = " ".join(words) + "."
+    rows = [
+        (1, "https://spam.example/x", good),              # url gate
+        (2, "https://ok.example/a", "too short"),         # gopher gate
+        # passes gopher (top-bigram COUNT frac 8/75 < 0.2, word stats ok)
+        # but fails the repetition CHAR-fraction gate: the repeated bigram
+        # is built of LONG words, so 8×37 of ~720 chars ≈ 0.41 > 0.20
+        (3, "https://ok.example/b",
+         " ".join(words[:60]) + " "
+         + " ".join(["x" * 18, "y" * 18] * 8) + "."),     # repetition gate
+        (4, "https://ok.example/c", good),                # passes
+        (5, "https://ok.example/d", good),                # exact dup of 4
+        (6, "https://ok.example/e",
+         good.replace("word10", "changed10")),            # near-dup of 4
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, url string, text string")
+    blocked = spark.createDataFrame([("spam.example",)], "host string")
+
+    flagged = flag_corpus(docs, blocked)
+    got = {r["doc_id"]: r for r in flagged.collect()}
+    assert not got[1]["url_ok"] and got[4]["url_ok"]
+    assert not got[2]["gopher_keep"] and got[4]["gopher_keep"]
+    assert not got[3]["repetition_keep"] and got[4]["repetition_keep"]
+    # the pseudo-model's verdict on the good text, pinned via the twin
+    expect_keep = quality_model_score(good) > 0
+    assert got[4]["model_keep"] == expect_keep
+
+    funnel = curation_funnel(flagged)
+    assert funnel["n_input"] == 6
+    assert funnel["drop_url"] == 1
+    assert funnel["drop_gopher"] == 1      # doc 2 (doc 1 already gone)
+    assert funnel["drop_repetition"] == 1  # doc 3 (passed gopher first)
+    parts = (funnel["drop_url"] + funnel["drop_gopher"]
+             + funnel["drop_repetition"] + funnel["drop_model"]
+             + funnel["n_pass"])
+    assert parts == funnel["n_input"]  # sequential accounting is exact
+
+    if expect_keep:  # docs 4/5/6 reach dedup: exact 5→4, near 6→4
+        kept = sorted(r["doc_id"] for r in
+                      curate_corpus(docs, blocked).collect())
+        assert kept == [4], kept
+        kept_nd = sorted(r["doc_id"] for r in
+                         curate_corpus(docs, blocked, dedup=False).collect())
+        assert kept_nd == [4, 5, 6], kept_nd
+
+
 def test_repetition_features_known_values(spark):
     """Hand-computed Gopher repetition stats on constructed docs."""
     from rag_pdf_parser_spark.functions import with_repetition_features
