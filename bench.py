@@ -197,6 +197,13 @@ def run_bench() -> dict:
           lambda: lsh_candidate_pairs(docs_t, id_col="doc_id",
                                       shingle="word").count())
 
+    # composed curation gates: all four flag families + funnel in one pass
+    from rag_pdf_parser_spark.plans.curate import curation_funnel, flag_corpus
+
+    timed("curation_funnel",
+          lambda: curation_funnel(
+              flag_corpus(docs_t.select("doc_id", "text"))))
+
     pages.unpersist()
     raw_pages.unpersist()
     spark.stop()

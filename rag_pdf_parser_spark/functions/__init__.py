@@ -631,16 +631,72 @@ def repetition_features_expr(text: Column) -> dict[str, Column]:
 
 
 def with_repetition_features(df, text_col: str = "text"):
-    """df + the repetition fractions + `repetition_keep` — staged as TWO
-    selects so every fold is evaluated exactly once: the keep conjunction
-    in the second select references the first select's output ATTRIBUTES,
-    which CollapseProject refuses to re-inline (each is non-cheap and
-    referenced twice: once as output, once in keep). The keep thresholds
-    therefore apply to the rounded 6-decimal fractions — a distinction
-    without a difference at these thresholds. Plan-asserted in
-    scripts/explain_audit.py (zip_with count) and tests."""
-    feats = repetition_features_expr(F.col(text_col))
-    staged = df.select("*", *[c.alias(k) for k, c in feats.items()])
+    """df + the repetition fractions + `repetition_keep` — the PRODUCTION
+    formulation. Two structural tricks, both CollapseProject-aware:
+
+    1. The gram CHAIN is staged level-by-level as real columns (__g2 built
+       from __toks, __g3 from __g2, …): each level is referenced by the
+       next level AND its own stat column (2 non-cheap refs), so
+       CollapseProject keeps the staging and every zip-shift pass runs
+       ONCE per row. Inlining everything into one projection re-derives
+       level n from scratch per column — Σ(n-1) = 45 chain passes plus
+       the same again for keep; measured 14.1 s → ~3 s at sf0.1.
+    2. `repetition_keep` reads the fraction ATTRIBUTES in a later select
+       (same rule), so thresholds apply to the rounded 6-decimal values —
+       a distinction without a difference at these thresholds (the DuckDB
+       twin thresholds the rounded values identically).
+
+    Plan-asserted in tests (zip_with count ≈ 9, one per chain level)."""
+    safe = F.coalesce(F.col(text_col), F.lit(""))
+    staged = df.withColumn("__toks", word_tokens_expr(safe)) \
+        .withColumn("__tc",
+                    F.greatest(F.length(safe).cast("double"), F.lit(1.0)))
+    for n in range(2, 11):
+        prev = F.col("__toks") if n == 2 else F.col(f"__g{n - 1}")
+        shifted = F.slice(
+            F.col("__toks"), n,
+            F.greatest(F.size(F.col("__toks")) - (n - 1), F.lit(0)))
+        staged = staged.withColumn(
+            f"__g{n}",
+            F.filter(
+                F.zip_with(prev, shifted,
+                           lambda a, b: F.when(b.isNotNull(),
+                                               F.concat(a, F.lit(" "), b))),
+                lambda x: x.isNotNull(),
+            ),
+        )
+    paras = F.filter(
+        F.transform(F.split(safe, r"\n\n", -1), lambda p: F.trim(p)),
+        lambda p: F.length(p) > 0,
+    )
+    staged = staged.withColumn("__sp", F.array_sort(paras))
+
+    tc = F.col("__tc")
+    cols = {}
+    for n in (2, 3, 4):
+        cols[f"top_{n}gram_char_frac"] = F.round(
+            F.least(_top_gram_chars(F.array_sort(F.col(f"__g{n}"))) / tc,
+                    F.lit(1.0)), 6)
+    for n in range(5, 11):
+        cols[f"dup_{n}gram_char_frac"] = F.round(
+            F.least(_dup_gram_chars(F.array_sort(F.col(f"__g{n}"))) / tc,
+                    F.lit(1.0)), 6)
+    sp = F.col("__sp")
+    n_paras = F.greatest(F.size(sp).cast("double"), F.lit(1.0))
+    dup_para_count = F.aggregate(
+        sp,
+        F.struct(F.lit("").alias("prev"), F.lit(0).alias("d")),
+        lambda a, p: F.struct(
+            p.alias("prev"),
+            (a["d"] + F.when(p == a["prev"], 1).otherwise(0)).alias("d"),
+        ),
+    )["d"].cast("double")
+    cols["dup_para_frac"] = F.round(dup_para_count / n_paras, 6)
+    cols["dup_para_char_frac"] = F.round(
+        F.least(_dup_gram_chars(sp) / tc, F.lit(1.0)), 6)
+    staged = staged.select(
+        *[c for c in df.columns], *[c.alias(k) for k, c in cols.items()])
+
     keep = F.lit(True)
     for n, thr in REPETITION_TOP_THRESHOLDS.items():
         keep = keep & (F.col(f"top_{n}gram_char_frac") <= thr)
