@@ -1436,7 +1436,7 @@ FROM buckets l JOIN buckets r
 """
 
 def _repetition_filters_sql() -> str:
-    """Independent DuckDB twin of repetition_features_expr: per-n gram
+    """Independent DuckDB twin of with_repetition_features: per-n gram
     tables via list_slice, GROUP BY counts, top gram by (count DESC, gram
     ASC) — the same tie rule as the Spark sorted-run fold's strict-> update
     — and Σ(c-1)·len(g) duplicate-char accounting."""

@@ -487,25 +487,33 @@ def word_tokens_expr(text: Column, pre_normalized: bool = False) -> Column:
                     lambda t: F.length(t) > 0)
 
 
+def gram_step_expr(prev: Column, toks: Column, n: int) -> Column:
+    """ONE level of the zip-shift gram fold: (n-1)-grams `prev` extended by
+    the (n-1)-shifted token array into n-grams. THE canonical idiom —
+    building grams with `transform(sequence, i -> slice/element_at(...))`
+    instead re-evaluates the derived array PER ELEMENT (the HOF O(n²)
+    trap — the 19.4 s → 2.2 s bigram lesson, see gopher_features_expr).
+    Consumed by `word_ngram_chain_expr` (expression chains) and
+    `with_repetition_features` (column-staged chain)."""
+    shifted = F.slice(toks, n, F.greatest(F.size(toks) - (n - 1),
+                                          F.lit(0)))
+    return F.filter(
+        F.zip_with(prev, shifted,
+                   lambda a, b: F.when(b.isNotNull(),
+                                       F.concat(a, F.lit(" "), b))),
+        lambda x: x.isNotNull(),
+    )
+
+
 def word_ngram_chain_expr(toks: Column, n_max: int) -> dict[int, Column]:
     """Word n-gram arrays for n=1..n_max, each built from the previous by
-    one zip_with against the (n-1)-shifted token array — every reference is
-    a constant-count O(tokens) pass. THE canonical gram-fold idiom: building
-    grams with `transform(sequence, i -> slice/element_at(...))` instead
-    re-evaluates the derived array PER ELEMENT (the HOF O(n²) trap — the
-    19.4 s → 2.2 s bigram lesson, see gopher_features_expr). Single home
-    for the idiom; decontamination, word-MinHash, the repetition family,
-    and the quality classifier all consume it from here."""
+    one `gram_step_expr` — every reference is a constant-count O(tokens)
+    pass. Single home for the gram idiom; decontamination, word-MinHash,
+    and the quality classifier consume it from here (the repetition family
+    stages the same steps as real columns — with_repetition_features)."""
     grams: dict[int, Column] = {1: toks}
     for n in range(2, n_max + 1):
-        shifted = F.slice(toks, n, F.greatest(F.size(toks) - (n - 1),
-                                              F.lit(0)))
-        grams[n] = F.filter(
-            F.zip_with(grams[n - 1], shifted,
-                       lambda a, b: F.when(b.isNotNull(),
-                                           F.concat(a, F.lit(" "), b))),
-            lambda x: x.isNotNull(),
-        )
+        grams[n] = gram_step_expr(grams[n - 1], toks, n)
     return grams
 
 
@@ -575,8 +583,15 @@ REPETITION_DUP_THRESHOLDS = {5: 0.15, 6: 0.14, 7: 0.13, 8: 0.12,
                              9: 0.11, 10: 0.10}
 
 
-def repetition_features_expr(text: Column) -> dict[str, Column]:
-    """The COMPLETE Gopher repetition-filter family (Rae et al. 2021
+# (The former one-select `repetition_features_expr` was deleted — dead
+# code after the staged rewrite below, and a second parallel
+# implementation of the same stats that would silently diverge. The
+# DuckDB twin in __spark_entry__._repetition_filters_sql mirrors
+# `with_repetition_features`.)
+
+
+def with_repetition_features(df, text_col: str = "text"):
+    """df + the COMPLETE Gopher repetition-filter family (Rae et al. 2021
     §A1.1), beyond the subset in `gopher_features_expr`:
 
     - top n-gram CHARACTER fraction for n ∈ {2,3,4} (chars covered by the
@@ -585,54 +600,12 @@ def repetition_features_expr(text: Column) -> dict[str, Column]:
       occurrences beyond the first of each distinct n-gram / total chars,
       overlap-agnostic, capped at 1),
     - duplicate paragraph fraction + duplicate paragraph CHARACTER
-      fraction (paragraphs = '\\n\\n'-separated, trimmed, non-empty).
+      fraction (paragraphs = '\\n\\n'-separated, trimmed, non-empty),
+    - `repetition_keep` applying the published thresholds.
 
     All per-doc O(tokens·n_max + n log n) sorted-run folds — zero shuffle,
-    zero UDF. NULL text behaves as empty (all fractions 0 — mirrored by
-    the DuckDB twin's COALESCE-free NULL arithmetic, which yields the same
-    zeros via its LEFT JOIN defaults).
-
-    NOTE: each returned Column embeds its own fold — projecting them all
-    in ONE select duplicates nothing, but adding `repetition_keep` (which
-    reads every fraction) in the same select would re-inline every fold
-    (CollapseProject does not share non-cheap siblings). Use
-    `with_repetition_features` for the full table including the keep flag
-    — it stages two selects so each fold runs ONCE."""
-    safe = F.coalesce(text, F.lit(""))
-    total_chars = F.greatest(F.length(safe).cast("double"), F.lit(1.0))
-    grams = word_ngram_chain_expr(word_tokens_expr(safe), 10)
-    out: dict[str, Column] = {}
-    for n in (2, 3, 4):
-        frac = F.least(_top_gram_chars(F.array_sort(grams[n])) / total_chars,
-                       F.lit(1.0))
-        out[f"top_{n}gram_char_frac"] = F.round(frac, 6)
-    for n in range(5, 11):
-        frac = F.least(_dup_gram_chars(F.array_sort(grams[n])) / total_chars,
-                       F.lit(1.0))
-        out[f"dup_{n}gram_char_frac"] = F.round(frac, 6)
-    paras = F.filter(
-        F.transform(F.split(safe, r"\n\n", -1), lambda p: F.trim(p)),
-        lambda p: F.length(p) > 0,
-    )
-    n_paras = F.greatest(F.size(paras).cast("double"), F.lit(1.0))
-    sorted_p = F.array_sort(paras)
-    dup_para_count = F.aggregate(
-        sorted_p,
-        F.struct(F.lit("").alias("prev"), F.lit(0).alias("d")),
-        lambda a, p: F.struct(
-            p.alias("prev"),
-            (a["d"] + F.when(p == a["prev"], 1).otherwise(0)).alias("d"),
-        ),
-    )["d"].cast("double")
-    out["dup_para_frac"] = F.round(dup_para_count / n_paras, 6)
-    out["dup_para_char_frac"] = F.round(
-        F.least(_dup_gram_chars(sorted_p) / total_chars, F.lit(1.0)), 6)
-    return out
-
-
-def with_repetition_features(df, text_col: str = "text"):
-    """df + the repetition fractions + `repetition_keep` — the PRODUCTION
-    formulation. Two structural tricks, both CollapseProject-aware:
+    zero UDF; NULL text behaves as empty (all fractions 0, keep true).
+    Two structural tricks, both CollapseProject-aware:
 
     1. The gram CHAIN is staged level-by-level as real columns (__g2 built
        from __toks, __g3 from __g2, …): each level is referenced by the
@@ -653,18 +626,8 @@ def with_repetition_features(df, text_col: str = "text"):
                     F.greatest(F.length(safe).cast("double"), F.lit(1.0)))
     for n in range(2, 11):
         prev = F.col("__toks") if n == 2 else F.col(f"__g{n - 1}")
-        shifted = F.slice(
-            F.col("__toks"), n,
-            F.greatest(F.size(F.col("__toks")) - (n - 1), F.lit(0)))
         staged = staged.withColumn(
-            f"__g{n}",
-            F.filter(
-                F.zip_with(prev, shifted,
-                           lambda a, b: F.when(b.isNotNull(),
-                                               F.concat(a, F.lit(" "), b))),
-                lambda x: x.isNotNull(),
-            ),
-        )
+            f"__g{n}", gram_step_expr(prev, F.col("__toks"), n))
     paras = F.filter(
         F.transform(F.split(safe, r"\n\n", -1), lambda p: F.trim(p)),
         lambda p: F.length(p) > 0,

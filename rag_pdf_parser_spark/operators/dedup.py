@@ -565,8 +565,17 @@ def dedup_corpus(docs: DataFrame, id_col: str = "doc_id",
     Scale shape: every stage is the scale-safe formulation documented on
     its function; the Jaccard verify is candidate-pair-bounded. Returns
     the deduplicated corpus (all input columns).
+
+    The exact-dedup result is MATERIALIZED (localCheckpoint) before the
+    fan-out: four downstream subplans consume it (both sides of the LSH
+    self-join, the Jaccard shingle table, the final anti-join), and unlike
+    the pure-projection signature pipeline (see lsh_candidate_pairs's
+    measured note) it CONTAINS A SHUFFLE (hash groupBy + semi-join) that
+    would otherwise execute four times. On a real cluster use persist
+    (DISK) or a staging table at this point.
     """
-    out = exact_dedup(docs, text_col, id_col).drop("content_sha")
+    out = exact_dedup(docs, text_col, id_col).drop("content_sha") \
+        .localCheckpoint(eager=True)
     cands = lsh_candidate_pairs(out, id_col=id_col, text_col=text_col,
                                 n=n, num_perm=num_perm, bands=bands,
                                 shingle=shingle, max_bucket=max_bucket)

@@ -7,12 +7,16 @@
   → model quality gate     (functions.with_quality_model)
   → near-dedup             (operators.dedup.dedup_corpus)
 
-Each gate contributes a boolean column in ONE pass over the corpus (the
-flags ride a single projection pipeline — zero extra scans); the funnel
-report aggregates drop counts per stage from those flags in one job. The
-filter stages are zero-shuffle; only dedup shuffles (its own documented
-shapes). The reference has no corpus curation at all — this is the §2.11
-engine-added capstone composing its per-stage analogs.
+The text gates (gopher/repetition/model) contribute their boolean columns
+in ONE projection pass over the corpus — zero shuffle, zero extra scans.
+The URL gate, when a blocklist is supplied, adds its documented shape on
+top: a second scan of the url column for the suffix-chain explode, a
+broadcast semi-join against the blocklist, and a distinct+join back
+(operators/urlfilter.py) — small next to the text work, but NOT free;
+size shuffle capacity for it at 100 TB. The funnel report aggregates drop
+counts per stage from the flags in one job; dedup shuffles per its own
+documented shapes. The reference has no corpus curation at all — this is
+the §2.11 engine-added capstone composing its per-stage analogs.
 """
 
 from __future__ import annotations
@@ -42,7 +46,10 @@ def flag_corpus(docs: DataFrame, blocked_hosts: DataFrame | None = None,
             .drop("url_blocked", "block_reason")
     else:
         out = out.withColumn("url_ok", F.lit(True))
-    gf = gopher_features_expr(F.col(text_col))
+    # NULL text behaves as empty here like in every other gate — a NULL
+    # gopher_keep would poison pass_all to NULL (doc vanishes from every
+    # funnel bucket and from both curate branches)
+    gf = gopher_features_expr(F.coalesce(F.col(text_col), F.lit("")))
     out = out.withColumn("gopher_keep", gf["gopher_keep"])
     out = with_repetition_features(out, text_col)
     out = with_quality_model(out, text_col)
@@ -58,7 +65,10 @@ def curation_funnel(flagged: DataFrame) -> dict:
     aggregation job (control-plane scalars only). Stages are counted
     sequentially (a doc dropped by the URL gate isn't re-counted by later
     gates), matching how `curate_corpus` actually filters."""
-    c = lambda col: F.sum(col.cast("long"))  # noqa: E731
+    # coalesce: F.sum over ZERO rows is NULL — an empty corpus (or slice)
+    # must report an all-zero funnel, not crash on int(None)
+    c = lambda col: F.coalesce(  # noqa: E731
+        F.sum(col.cast("long")), F.lit(0))
     u = F.col("url_ok")
     g = F.col("gopher_keep")
     r = F.col("repetition_keep")

@@ -514,6 +514,18 @@ def test_curate_corpus_funnel(spark):
              + funnel["n_pass"])
     assert parts == funnel["n_input"]  # sequential accounting is exact
 
+    # r4 review findings: NULL text and empty corpora must keep the funnel
+    # exact (no NULL flags leaking into pass_all, no int(None) crash)
+    empty = spark.createDataFrame([], "doc_id long, url string, text string")
+    fz = curation_funnel(flag_corpus(empty, blocked))
+    assert fz == {"n_input": 0, "drop_url": 0, "drop_gopher": 0,
+                  "drop_repetition": 0, "drop_model": 0, "n_pass": 0}, fz
+    withnull = spark.createDataFrame(
+        [(9, "https://ok.example/z", None)],
+        "doc_id long, url string, text string")
+    fn = curation_funnel(flag_corpus(withnull, blocked))
+    assert fn["n_input"] == 1 and fn["drop_gopher"] == 1, fn
+
     if expect_keep:  # docs 4/5/6 reach dedup: exact 5→4, near 6→4
         kept = sorted(r["doc_id"] for r in
                       curate_corpus(docs, blocked).collect())
