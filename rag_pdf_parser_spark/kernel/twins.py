@@ -31,8 +31,12 @@ _ASCII_WS = re.compile(r"[ \t\n\x0b\f\r]+")
 
 
 def normalized_text(text: str) -> str:
-    """Twin of functions.normalized_text_expr (lower + ws-collapse + trim)."""
-    return _ASCII_WS.sub(" ", text.lower()).strip()
+    """Twin of functions.normalized_text_expr (lower + ws-collapse + trim).
+    MUST strip ASCII spaces only: Spark's F.trim removes ' ' while
+    Python's bare str.strip() removes Unicode whitespace (NBSP, ideographic
+    space, …) — a bare strip() diverged on '\\xa0leading nbsp' inputs
+    (caught by the r4 adversarial quality-model twin test)."""
+    return _ASCII_WS.sub(" ", text.lower()).strip(" ")
 
 
 def char_shingles(text: str, n: int = 5) -> set[str]:

@@ -315,3 +315,25 @@ def test_hash_embedding_twin_matches_spark(spark):
     for i, t in enumerate(texts):
         exp = l2_normalize_f32(hash_embedding(t))
         assert got[i] == exp, (i, t, got[i][:4], exp[:4])
+
+
+def test_quality_model_twin_matches_spark_adversarial(spark):
+    """quality_model score twin vs the Spark fold, BIT-exact, over
+    adversarial strings: unicode whitespace (Java \\s is ASCII — the twin
+    must tokenize identically), CJK, repeated tokens, punctuation-only,
+    long texts, NULL."""
+    from rag_pdf_parser_spark.functions import with_quality_model
+    from rag_pdf_parser_spark.kernel.twins import quality_model_score
+
+    texts = ["hello world hello", "  spaced\t tokens \n lines ",
+             "数据 引擎 data 数据", "", "one", "a " * 300,
+             "MiXeD CaSe MIXED case", "punct, here! and; there?",
+             " nbsp separated words",  # NBSP is NOT \s in Java
+             "　ideographic　space", "word​zero​width",
+             ".!?", "x" * 500, None]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "i int, text string")
+    got = {r["i"]: r["score_lin"]
+           for r in with_quality_model(df).collect()}
+    for i, t in enumerate(texts):
+        assert got[i] == quality_model_score(t), (i, repr(t))
