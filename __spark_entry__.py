@@ -289,8 +289,10 @@ def q_minhash_lsh_pairs(spark, sf_dir):
 def q_minhash_word_pairs(spark, sf_dir):
     """Word-shingle MinHash+LSH (Lee et al. 2022-style word-n-gram config;
     sha flavor so the DuckDB twin hashes identical strings): word 5-grams,
-    4 perms, 2 bands, over every 10th document."""
-    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 10 == 0)
+    4 perms, 2 bands, over the full documents table (the corpus's near-dup
+    families sit at ADJACENT doc_ids — a mod-k sample would split every
+    family and make the query vacuously empty)."""
+    d = _t(spark, sf_dir, "documents")
     return lsh_candidate_pairs(d, id_col="doc_id", n=5, num_perm=4, bands=2,
                                flavor="sha", shingle="word")
 
@@ -1151,17 +1153,19 @@ _EXTRA_KEYS = (
     "token_counts",
     "customers_with_orders",
     "supplier_distinct_parts",
-    # word-shingle MinHash flavor (Lee-style config) — full DuckDB twin in
-    # the pytest mini-driver; the driver registry is at its 50-row cap
-    "minhash_word_pairs",
-    # Manku banded simhash pair generation — kernel-golden twin in extras
-    "simhash_near_dups",
-    # C4-style URL/domain gate — independent DuckDB twin in extras
-    "url_filter",
-    # hashed linear quality classifier — kernel-golden twin in extras
-    "quality_model",
-    # full Gopher repetition family — independent DuckDB twin in extras
-    "repetition_filters",
+    # r5 rotation (r4 verdict #1): the five r4 LLM-pipeline extras
+    # (minhash_word_pairs, simhash_near_dups, url_filter, quality_model,
+    # repetition_filters) took driver slots from these five redundant rows.
+    # Coverage they carried stays in the driver set: ROLLUP agg overlaps
+    # value_percentiles (+ order_priority_counts extras), cumulative window
+    # overlaps topk_orders_per_customer, events JSON-extraction overlaps
+    # hourly_event_stats/section_carry_events on the events table, and the
+    # kNN family keeps chunk_embedding_knn + ann_topk + ivf_disk_topk.
+    "rollup_order_counts",
+    "cumulative_customer_revenue",
+    "events_json",
+    "hash_embedding_knn",
+    "ivf_topk",
 )
 
 
@@ -1557,7 +1561,7 @@ FROM f
 
 _MINHASH_WORD_SQL = f"""
 WITH norm AS (
-  SELECT doc_id, {_NORM} AS t FROM documents WHERE doc_id % 10 = 0
+  SELECT doc_id, {_NORM} AS t FROM documents
 ),
 toks AS (
   SELECT doc_id,

@@ -251,7 +251,8 @@ def cosine_expr(a: Column, b: Column) -> Column:
     return dot / (na * nb)
 
 
-def gopher_features_expr(text: Column) -> dict[str, Column]:
+def gopher_features_expr(text: Column, toks: Column | None = None,
+                         bigrams: Column | None = None) -> dict[str, Column]:
     """Gopher/C4-style web-text quality filters (Rae et al. 2021 'Scaling
     Language Models' §A1.1; Raffel et al. 2020 C4 heuristics) as pure
     expressions — the standard pre-training corpus gate, word-level subset
@@ -269,8 +270,15 @@ def gopher_features_expr(text: Column) -> dict[str, Column]:
     length 3..10, symbol ratio < 0.1, alpha-word fraction > 0.8, top-bigram
     fraction < 0.2). All ratios are exact-integer divisions in IEEE double —
     deterministic across engines; the DuckDB twin recomputes independently
-    (mode-count formulation instead of sorted runs)."""
-    toks = F.filter(F.split(F.trim(text), r"\s+"), lambda t: F.length(t) > 0)
+    (mode-count formulation instead of sorted runs).
+
+    `toks` (raw-case token array) and `bigrams` (lowercased adjacent-pair
+    array) accept PRE-STAGED columns so a composed plan (plans/curate.py
+    flag_corpus) tokenizes once for all gates — bit-identical to the
+    defaults, which build both from `text` here."""
+    if toks is None:
+        toks = F.filter(F.split(F.trim(text), r"\s+"),
+                        lambda t: F.length(t) > 0)
     n_words = F.size(toks).cast("double")
     safe_words = F.greatest(n_words, F.lit(1.0))
     word_chars = F.length(F.regexp_replace(text, r"\s", "")).cast("double")
@@ -282,21 +290,14 @@ def gopher_features_expr(text: Column) -> dict[str, Column]:
         + F.regexp_count(text, F.lit("…"))
     ).cast("double")
 
-    low = F.transform(toks, F.lower)
-    # adjacent pairs via zip_with(low, low-shifted-by-one): `low` is
-    # referenced a constant number of times (each an O(n) evaluation).
-    # Building bigrams as transform(sequence, i -> element_at(low, i)...)
-    # instead re-evaluates `low` PER ELEMENT — the O(n²) HOF re-evaluation
-    # trap (measured: 19.4 s → 1.6 s at sf0.1 for this query).
-    shifted = F.slice(low, 2, F.greatest(F.size(low) - 1, F.lit(0)))
-    bigrams = F.filter(
-        F.zip_with(
-            low, shifted,
-            lambda a, b: F.when(b.isNotNull(),
-                                F.concat(a, F.lit(" "), b)),
-        ),
-        lambda x: x.isNotNull(),
-    )
+    if bigrams is None:
+        low = F.transform(toks, F.lower)
+        # adjacent pairs via zip_with(low, low-shifted-by-one): `low` is
+        # referenced a constant number of times (each an O(n) evaluation).
+        # Building bigrams as transform(sequence, i -> element_at(low, i)...)
+        # instead re-evaluates `low` PER ELEMENT — the O(n²) HOF
+        # re-evaluation trap (measured: 19.4 s → 1.6 s at sf0.1).
+        bigrams = gram_step_expr(low, low, 2)
     sorted_b = F.array_sort(bigrams)
     run_acc = F.aggregate(
         sorted_b,
@@ -428,7 +429,9 @@ def quality_model_weights(dim: int = QUALITY_MODEL_DIM,
 
 def quality_model_score_expr(text: Column,
                              dim: int = QUALITY_MODEL_DIM,
-                             seed: int = 13) -> Column:
+                             seed: int = 13,
+                             toks: Column | None = None,
+                             bigrams: Column | None = None) -> Column:
     """Linear text-quality classifier score over hashed unigram+bigram
     features (the 'hashing trick' a la fastText/CCNet): feature f → bucket
     pmod(xxhash64(f), dim) → weight lookup → mean over features + bias.
@@ -449,8 +452,13 @@ def quality_model_score_expr(text: Column,
     would ship via broadcast + `F.element_at` on a map/array column
     instead; same plan shape)."""
     ws, bias = quality_model_weights(dim, seed)
-    toks = word_tokens_expr(F.coalesce(text, F.lit("")))
-    feats = F.concat(toks, word_ngram_chain_expr(toks, 2)[2])
+    # pre-staged toks/bigrams (flag_corpus): tokenize-once composition —
+    # bit-identical to the default construction from `text`
+    if toks is None:
+        toks = word_tokens_expr(F.coalesce(text, F.lit("")))
+    if bigrams is None:
+        bigrams = word_ngram_chain_expr(toks, 2)[2]
+    feats = F.concat(toks, bigrams)
     weights = F.array(*[F.lit(float(x)) for x in ws])
     # hash each feature ONCE in a projection, then fold weight lookups —
     # only an element_at happens inside the accumulator (HOF trap avoided)
@@ -464,14 +472,17 @@ def quality_model_score_expr(text: Column,
 
 
 def with_quality_model(df, text_col: str = "text",
-                       dim: int = QUALITY_MODEL_DIM, seed: int = 13):
+                       dim: int = QUALITY_MODEL_DIM, seed: int = 13,
+                       toks: Column | None = None,
+                       bigrams: Column | None = None):
     """df + score_lin / quality_p (monotone sigmoid calibration — exp may
     differ by an ULP across libms, so thresholds belong on score_lin) /
     model_keep. Two selects so the feature fold runs ONCE (the derived
     columns reference the score ATTRIBUTE, which CollapseProject refuses
     to re-inline for multiply-referenced non-cheap expressions)."""
     staged = df.withColumn(
-        "score_lin", quality_model_score_expr(F.col(text_col), dim, seed))
+        "score_lin", quality_model_score_expr(F.col(text_col), dim, seed,
+                                              toks, bigrams))
     s = F.col("score_lin")
     return (staged
             .withColumn("quality_p", F.lit(1.0) / (F.lit(1.0) + F.exp(-s)))
@@ -619,11 +630,30 @@ def with_repetition_features(df, text_col: str = "text"):
        a distinction without a difference at these thresholds (the DuckDB
        twin thresholds the rounded values identically).
 
-    Plan-asserted in tests (zip_with count ≈ 9, one per chain level)."""
+    Plan-asserted in tests (zip_with count ≈ 9, one per chain level).
+
+    The three pieces (`stage_repetition_chain`, `repetition_stat_cols`,
+    `repetition_keep_expr`) are exposed separately so the composed
+    curation plan (plans/curate.py flag_corpus) can share ONE staged
+    token/gram chain across the gopher, repetition, and quality-model
+    gates instead of tokenizing three times."""
     safe = F.coalesce(F.col(text_col), F.lit(""))
-    staged = df.withColumn("__toks", word_tokens_expr(safe)) \
-        .withColumn("__tc",
-                    F.greatest(F.length(safe).cast("double"), F.lit(1.0)))
+    staged = stage_repetition_chain(
+        df.withColumn("__toks", word_tokens_expr(safe)), safe)
+    staged = staged.select(
+        *[c for c in df.columns],
+        *[c.alias(k) for k, c in repetition_stat_cols().items()])
+    return staged.withColumn("repetition_keep", repetition_keep_expr())
+
+
+def stage_repetition_chain(df, safe: Column):
+    """Stage the repetition family's working columns on top of an already
+    present lowercase token column `__toks`: `__tc` (char denominator),
+    the word n-gram chain `__g2`..`__g10` (level-by-level — see
+    with_repetition_features docstring trick #1), and `__sp` (sorted
+    non-empty paragraphs)."""
+    staged = df.withColumn(
+        "__tc", F.greatest(F.length(safe).cast("double"), F.lit(1.0)))
     for n in range(2, 11):
         prev = F.col("__toks") if n == 2 else F.col(f"__g{n - 1}")
         staged = staged.withColumn(
@@ -632,8 +662,12 @@ def with_repetition_features(df, text_col: str = "text"):
         F.transform(F.split(safe, r"\n\n", -1), lambda p: F.trim(p)),
         lambda p: F.length(p) > 0,
     )
-    staged = staged.withColumn("__sp", F.array_sort(paras))
+    return staged.withColumn("__sp", F.array_sort(paras))
 
+
+def repetition_stat_cols() -> dict[str, Column]:
+    """The 11 repetition stat expressions over the staged ATTRIBUTES from
+    `stage_repetition_chain` (__tc, __g2..__g10, __sp)."""
     tc = F.col("__tc")
     cols = {}
     for n in (2, 3, 4):
@@ -657,14 +691,17 @@ def with_repetition_features(df, text_col: str = "text"):
     cols["dup_para_frac"] = F.round(dup_para_count / n_paras, 6)
     cols["dup_para_char_frac"] = F.round(
         F.least(_dup_gram_chars(sp) / tc, F.lit(1.0)), 6)
-    staged = staged.select(
-        *[c for c in df.columns], *[c.alias(k) for k, c in cols.items()])
+    return cols
 
+
+def repetition_keep_expr() -> Column:
+    """`repetition_keep` from the (rounded) stat ATTRIBUTES — apply in a
+    select AFTER the stats are projected (CollapseProject rule #2 in the
+    with_repetition_features docstring)."""
     keep = F.lit(True)
     for n, thr in REPETITION_TOP_THRESHOLDS.items():
         keep = keep & (F.col(f"top_{n}gram_char_frac") <= thr)
     for n, thr in REPETITION_DUP_THRESHOLDS.items():
         keep = keep & (F.col(f"dup_{n}gram_char_frac") <= thr)
-    keep = keep & (F.col("dup_para_frac") <= 0.30) \
+    return keep & (F.col("dup_para_frac") <= 0.30) \
         & (F.col("dup_para_char_frac") <= 0.20)
-    return staged.withColumn("repetition_keep", keep)

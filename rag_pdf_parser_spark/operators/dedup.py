@@ -319,7 +319,11 @@ def simhash_near_dup_pairs(df: DataFrame, id_col: str = "doc_id",
     if bits % bands != 0:
         raise ValueError(f"bands={bands} must divide bits={bits}")
     width = bits // bands
-    mask = F.lit((1 << width) - 1).cast("long")
+    # width == bits (bands=1, the degenerate all-pairs-on-one-key config):
+    # 2^64-1 does not fit a LongType literal — all-ones is -1 in two's
+    # complement (r4 ADVICE finding).
+    mask = (F.lit(-1).cast("long") if width == bits
+            else F.lit((1 << width) - 1).cast("long"))
     sig = simhash(df.select(id_col, text_col), text_col, bits).select(
         F.col(id_col).alias("id"), "simhash")
     entries = [
@@ -357,17 +361,44 @@ def simhash_near_dup_pairs(df: DataFrame, id_col: str = "doc_id",
 # --- Jaccard -----------------------------------------------------------------------
 
 def ngram_jaccard_pairs(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
-                        text_col: str = "text", n: int = 5) -> DataFrame:
+                        text_col: str = "text", n: int = 5,
+                        shingle: str = "char") -> DataFrame:
     """Exact n-gram Jaccard for candidate pairs (id_a, id_b): explode distinct
-    shingles, equi-join on shingle, |∩| / (|A|+|B|-|∩|). Index-sequence
-    explode + post-Generate substring (the 37× minhash finding applies here
-    too); distinctness via the relational distinct that was already needed."""
+    shingles, equi-join on shingle, |∩| / (|A|+|B|-|∩|).
+
+    shingle='char' (default, the oracle-checked config): character n-grams
+    via index-sequence explode + post-Generate substring (the 37× minhash
+    finding applies here too); distinctness via the relational distinct that
+    was already needed.
+    shingle='word': TOKEN n-grams — the similarity space that word-shingle
+    MinHash-LSH approximates, so a word-config `dedup_corpus` verifies in
+    the same space its candidates came from (r4 ADVICE finding: verifying
+    word-LSH candidates with char-gram Jaccard thresholds a different
+    metric). Gram construction is identical to `minhash_signature`'s word/xx
+    path (zip-shift fold, empty doc → one ''-shingle): each gram is hashed
+    to int64 IN the row projection and the longs are exploded — set sizes
+    and intersections over the hashes equal those over the grams up to
+    64-bit collisions, and the Generate never copies gram strings."""
+    if shingle not in ("char", "word"):
+        raise ValueError(f"shingle must be 'char' or 'word', got {shingle!r}")
     pre = df.select(F.col(id_col).alias("id"),
                     normalized_text_expr(F.col(text_col)).alias("__t"))
-    idx = F.sequence(F.lit(1), F.greatest(F.length("__t") - (n - 1), F.lit(1)))
-    sh = pre.select("id", "__t", F.explode(idx).alias("__i")).select(
-        "id", F.substring(F.col("__t"), F.col("__i"), F.lit(n)).alias("g")
-    ).distinct()
+    if shingle == "word":
+        grams = token_ngrams_expr(F.col("__t"), n, pre_normalized=True)
+        sh = pre.select(
+            "id",
+            F.explode_outer(F.transform(grams, lambda g: F.xxhash64(g)))
+            .alias("__gh0"),
+        ).select(
+            "id",
+            F.coalesce(F.col("__gh0"), F.xxhash64(F.lit(""))).alias("g"),
+        ).distinct()
+    else:
+        idx = F.sequence(F.lit(1),
+                         F.greatest(F.length("__t") - (n - 1), F.lit(1)))
+        sh = pre.select("id", "__t", F.explode(idx).alias("__i")).select(
+            "id", F.substring(F.col("__t"), F.col("__i"), F.lit(n)).alias("g")
+        ).distinct()
     sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
     a = sh.select(F.col("id").alias("id_a"), "g")
     b = sh.select(F.col("id").alias("id_b"), F.col("g"))
@@ -558,7 +589,9 @@ def dedup_corpus(docs: DataFrame, id_col: str = "doc_id",
 
     Verification matters: LSH candidates at (num_perm=8, bands=4) include
     low-similarity collisions; the Jaccard gate at `jaccard_threshold`
-    makes the drop decision exact. `max_bucket` caps boilerplate
+    makes the drop decision exact — and it runs in the SAME shingle space
+    (`shingle`/`n` are passed through) that the LSH stage approximated, as
+    the published recipes require. `max_bucket` caps boilerplate
     mega-buckets (their members are exact dups — the exact lane upstream
     already collapsed those).
 
@@ -580,10 +613,138 @@ def dedup_corpus(docs: DataFrame, id_col: str = "doc_id",
                                 n=n, num_perm=num_perm, bands=bands,
                                 shingle=shingle, max_bucket=max_bucket)
     verified = ngram_jaccard_pairs(out, cands, id_col=id_col,
-                                   text_col=text_col, n=n) \
+                                   text_col=text_col, n=n, shingle=shingle) \
         .where(F.col("jaccard") >= jaccard_threshold) \
         .select("id_a", "id_b")
     return dedup_keep_canonical(out, verified, id_col)
+
+
+def dedup_corpus_incremental(increment: DataFrame, store_dir: str,
+                             canon_dir: str, id_col: str = "doc_id",
+                             text_col: str = "text",
+                             jaccard_threshold: float = 0.8, n: int = 5,
+                             num_perm: int = 8, bands: int = 4,
+                             shingle: str = "char",
+                             max_bucket: int | None = 10_000,
+                             store_partitions: int | None = None
+                             ) -> DataFrame:
+    """INCREMENTAL near-dedup (r4 verdict #4): admit a new batch against the
+    accumulated canonical corpus WITHOUT re-shingling it. `dedup_corpus`
+    recomputes signatures over the full corpus every run; a daily increment
+    at 100 TB must instead pair new docs against a PERSISTED bucket index:
+
+        1. full `dedup_corpus` recipe WITHIN the increment (exact → LSH →
+           Jaccard verify → components → canonical),
+        2. increment survivors' buckets probe the store — read PRUNED to
+           the batch's bp partitions (the streaming store's layout,
+           streaming/minhash.py: bp = pmod(xxhash64(band,bucket), P));
+           bucket collisions yield (new doc, canonical doc) candidates,
+        3. candidates are VERIFIED with the same-shingle-space Jaccard gate
+           (canonical texts fetched from `canon_dir` by a semi-join on the
+           hit ids only — at warehouse scale an id-bucketed Iceberg table
+           makes this a pruned read),
+        4. admitted docs are appended to `canon_dir`; their (band, bucket,
+           id, bp) rows are appended to the store. `compact_batch_index`
+           is the store's MERGE job.
+
+    The store schema extends the streaming gate's (band, bucket, bp) with
+    the OWNER id — the verify stage needs to know which canonical doc a
+    collision points at; the signature config rides the store meta and is
+    validated on every run (a different n/num_perm/bands/shingle would
+    make bucket values incomparable and silently admit every duplicate).
+
+    Semantics are FIRST-SEEN GREEDY, the standard incremental trade-off:
+    equal to one-shot `dedup_corpus` over the accumulated corpus except
+    (a) earlier batches' canonicals never retract (a later batch cannot
+    merge two already-admitted components), and (b) a new doc whose only
+    similarity path to the corpus runs through a DROPPED (non-canonical)
+    document is admitted — the store indexes canonical survivors only.
+    Both are the documented behavior of production dedup services built on
+    a seen-store (the reference's persistent dedup DB has the same
+    property, deduplicator.py:45-65).
+
+    Returns the ADMITTED docs (also appended to `canon_dir`).
+    """
+    from ..plans.maintenance import recover_store
+    from ..streaming.minhash import (
+        STORE_PARTITIONS,
+        _resolve_store_partitions,
+        read_store_meta,
+        read_store_pruned,
+        store_partition_expr,
+        write_store_meta,
+    )
+
+    spark = increment.sparkSession
+    recover_store(store_dir)
+    recover_store(canon_dir)
+    n_parts = _resolve_store_partitions(store_dir,
+                                        store_partitions or STORE_PARTITIONS)
+    cfg = {"lsh_n": n, "lsh_num_perm": num_perm, "lsh_bands": bands,
+           "lsh_shingle": shingle}
+    meta = read_store_meta(store_dir)
+    if meta is not None and any(k in meta and meta[k] != v
+                                for k, v in cfg.items()):
+        raise ValueError(
+            f"batch LSH index at {store_dir} was written with "
+            f"{ {k: meta.get(k) for k in cfg} }, but { cfg } was "
+            "requested — bucket values under different signature configs "
+            "are incomparable and every seen duplicate would be silently "
+            "re-admitted. Rebuild the index to change the config.")
+
+    batch = dedup_corpus(increment, id_col=id_col, text_col=text_col,
+                         jaccard_threshold=jaccard_threshold, n=n,
+                         num_perm=num_perm, bands=bands, shingle=shingle,
+                         max_bucket=max_bucket).localCheckpoint(eager=True)
+    buckets = (
+        lsh_buckets(batch, id_col, text_col, n, num_perm, bands, "xx",
+                    shingle)
+        .withColumn("bp", store_partition_expr(F.col("band"),
+                                               F.col("bucket"), n_parts))
+        .localCheckpoint(eager=True)
+    )
+
+    import os as _os
+    has_store = _os.path.isdir(store_dir) and any(
+        d.startswith("bp=") for d in _os.listdir(store_dir))
+    if has_store:
+        # control-plane scalars: at most n_parts ints, never row data
+        bps = [r["bp"] for r in buckets.select("bp").distinct().collect()]
+        seen = read_store_pruned(spark, store_dir, bps)
+        cands = (
+            buckets.join(seen.select("band", "bucket",
+                                     F.col("id").alias("id_b")),
+                         ["band", "bucket"])
+            .select(F.col("id").alias("id_a"), "id_b").distinct()
+        )
+        canon_hit = (
+            spark.read.parquet(canon_dir)
+            .join(cands.select(F.col("id_b").alias(id_col)).distinct(),
+                  id_col, "left_semi")
+            .select(id_col, text_col)
+        )
+        texts = batch.select(id_col, text_col).unionByName(canon_hit)
+        dropped = (
+            ngram_jaccard_pairs(texts, cands, id_col=id_col,
+                                text_col=text_col, n=n, shingle=shingle)
+            .where(F.col("jaccard") >= jaccard_threshold)
+            .select(F.col("id_a").alias(id_col)).distinct()
+        )
+        admitted = batch.join(dropped, id_col, "left_anti")
+        admitted_buckets = buckets.join(
+            dropped.withColumnRenamed(id_col, "id"), "id", "left_anti")
+    else:
+        admitted, admitted_buckets = batch, buckets
+    # materialize before the appends below: both plans read canon_dir /
+    # store_dir, which the appends mutate (the cache-invalidation hazard
+    # documented in plans/pipeline.py)
+    admitted = admitted.localCheckpoint(eager=True)
+    admitted_buckets = admitted_buckets.localCheckpoint(eager=True)
+    admitted.write.mode("append").parquet(canon_dir)
+    write_store_meta(store_dir, n_parts, extra=cfg)
+    (admitted_buckets.select("band", "bucket", "id", "bp")
+     .write.mode("append").partitionBy("bp").parquet(store_dir))
+    return admitted
 
 
 def decontaminate_flags(docs: DataFrame, benchmark_grams: DataFrame,

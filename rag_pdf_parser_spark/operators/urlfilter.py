@@ -3,12 +3,19 @@
 (including all subdomains) or whose URL matches bad patterns, BEFORE paying
 for extraction.
 
-Scale shape: subdomain matching is NOT an endswith scan — each host explodes
-into its bounded suffix chain (`a.b.co.uk` → [a.b.co.uk, b.co.uk, co.uk])
-and the blocklist match becomes an equi semi-join on suffix (broadcast: real
-blocklists are ~1e5-1e6 rows, megabytes). Pattern rules are a fixed list of
-RE2-safe regexes compiled into ONE alternation evaluated JVM-side. Both are
-pure column expressions + one broadcast join — zero Python in the path.
+Scale shape: subdomain matching is NOT an endswith scan — each host derives
+its bounded suffix chain (`a.b.co.uk` → [a.b.co.uk, b.co.uk, co.uk]) and the
+blocklist match is per-depth broadcast left joins on the suffix columns
+(real blocklists are ~1e5-1e6 rows, megabytes — one broadcast, reused by
+every depth). ZERO shuffle of the corpus in any hit-density regime: no
+Generate, no join-back on url (the r4 formulation exploded suffixes into a
+side table and left-joined the hit urls back — correct, but with a
+heavily-blocked corpus the hit set outgrows the broadcast threshold and the
+join-back degrades to a full corpus shuffle on url; per-depth probes have
+no join-back at all). If the blocklist ever outgrows broadcast (1e8+
+entries), fall back to exploding `host_suffixes_expr` and shuffle-joining
+on suffix. Pattern rules are a fixed list of RE2-safe regexes compiled into
+ONE alternation evaluated JVM-side.
 
 The reference has no URL gate (single-directory file tool); this is an
 engine-added operator per the §2.11 training-data inventory.
@@ -53,11 +60,17 @@ def host_suffixes_expr(host: Column,
     """Array of the host's registrable suffix chain, shortest last:
     'a.b.example.com' → ['a.b.example.com', 'b.example.com', 'example.com',
     'com']. Built with one split + slice/array_join per depth — constant
-    expression count, no HOF-over-derived-array O(n²)."""
+    expression count, no HOF-over-derived-array O(n²).
+
+    Hosts deeper than `max_labels` keep their last `max_labels` labels AND
+    the full host itself (one extra element, no extra fan-out class) — the
+    cap bounds cost, but an exact-host blocklist entry deeper than the cap
+    must still match (r4 ADVICE finding: the capped chain silently dropped
+    the full host, so a 7-label exact entry never hit)."""
     labels = F.split(host, r"\.")
     n = F.size(labels)
     start = F.greatest(n - max_labels + 1, F.lit(1))
-    suffixes = [
+    suffixes = [F.when(n > max_labels, host)] + [
         F.when(n - k >= start,
                F.array_join(F.slice(labels, n - k, k + 1), "."))
         for k in range(max_labels - 1, -1, -1)
@@ -98,24 +111,52 @@ def filter_urls(docs: DataFrame, blocked_hosts: DataFrame | None = None,
                      F.lit(False)) if patterns else F.lit(False)
     out = docs.withColumn("__pat", pat)
     if blocked_hosts is not None:
-        sfx = out.select(
-            F.col(url_col),
-            F.explode(host_suffixes_expr(url_host_expr(F.col(url_col))))
-            .alias("host"),
-        )
-        # normalize the blocklist side too: real blocklist files carry
-        # mixed case / stray whitespace / blank lines, and the suffix chain
-        # is lowercase and never empty
+        # normalize the blocklist side: real blocklist files carry mixed
+        # case / stray whitespace / blank lines, and the suffix keys are
+        # lowercase and never empty. distinct() also guarantees each
+        # per-depth left join matches at most one row (no fan-out).
         blocked_norm = blocked_hosts.select(
             F.lower(F.trim(F.col("host"))).alias("host")
         ).where(F.length("host") > 0).distinct()
-        hit = (
-            sfx.join(F.broadcast(blocked_norm), "host")
-            .select(url_col).distinct()
-            .withColumn("__dom", F.lit(True))
-        )
-        out = out.join(hit, url_col, "left") \
-            .withColumn("__dom", F.coalesce("__dom", F.lit(False)))
+        # Stage host + label array ONCE, then derive the per-depth suffix
+        # key columns in a SECOND select: CollapseProject keeps a non-cheap
+        # attribute referenced >1 time staged, so the split runs once per
+        # row, not once per depth.
+        out = out.withColumn("__h", url_host_expr(F.col(url_col))) \
+            .withColumn("__hl", F.split(F.col("__h"), r"\."))
+        n = F.size("__hl")
+        max_labels = MAX_HOST_LABELS
+        sfx_keys = {
+            # depth 0 = the FULL host when deeper than the cap (the exact-
+            # host entry beyond max_labels must still match — ADVICE r4);
+            # NULL key (host within the cap) never equi-matches.
+            "__sfx0": F.when(n > max_labels, F.col("__h")),
+        }
+        for j in range(1, max_labels + 1):
+            # last j labels; NULL when the host has fewer than j labels.
+            # nullif('') keeps an empty host from matching anything even
+            # if a blank blocklist line survived normalization.
+            sfx_keys[f"__sfx{j}"] = F.when(
+                n >= j,
+                F.nullif(F.array_join(F.slice(F.col("__hl"), n - j + 1, j),
+                                      "."), F.lit("")))
+        out = out.withColumns(sfx_keys)
+        # One broadcast of the blocklist, probed once per depth: left joins
+        # on each suffix column. No Generate, no join-back, no shuffle of
+        # the corpus in ANY hit-density regime (see module docstring).
+        hit_flags = []
+        for key in sfx_keys:
+            marker = f"__bh_{key}"
+            bl = F.broadcast(blocked_norm.select(
+                F.col("host").alias(marker)))
+            out = out.join(bl, out[key] == bl[marker], "left")
+            hit_flags.append(F.col(marker).isNotNull())
+        dom = hit_flags[0]
+        for f in hit_flags[1:]:
+            dom = dom | f
+        out = out.withColumn("__dom", dom).drop(
+            "__h", "__hl", *sfx_keys,
+            *[f"__bh_{k}" for k in sfx_keys])
     else:
         out = out.withColumn("__dom", F.lit(False))
     flagged = (

@@ -8,15 +8,19 @@
   → near-dedup             (operators.dedup.dedup_corpus)
 
 The text gates (gopher/repetition/model) contribute their boolean columns
-in ONE projection pass over the corpus — zero shuffle, zero extra scans.
-The URL gate, when a blocklist is supplied, adds its documented shape on
-top: a second scan of the url column for the suffix-chain explode, a
-broadcast semi-join against the blocklist, and a distinct+join back
-(operators/urlfilter.py) — small next to the text work, but NOT free;
-size shuffle capacity for it at 100 TB. The funnel report aggregates drop
-counts per stage from the flags in one job; dedup shuffles per its own
-documented shapes. The reference has no corpus curation at all — this is
-the §2.11 engine-added capstone composing its per-stage analogs.
+in ONE projection pass over the corpus — zero shuffle, zero extra scans —
+and tokenize ONCE (r4 verdict #2): the raw whitespace split, the lowercase
+token array, and the word n-gram chain are staged as shared columns that
+all three gates consume (gopher's bigram stat and the quality model's
+features both read the staged `__g2`; each gate's default standalone path
+builds the identical arrays itself, so the composed flags are
+bit-identical to the standalone gates — asserted in tests). The URL gate,
+when a blocklist is supplied, is per-depth broadcast probes of the
+blocklist (operators/urlfilter.py) — zero shuffle of the corpus. The
+funnel report aggregates drop counts per stage from the flags in one job;
+dedup shuffles per its own documented shapes. The reference has no corpus
+curation at all — this is the §2.11 engine-added capstone composing its
+per-stage analogs.
 """
 
 from __future__ import annotations
@@ -26,8 +30,10 @@ from pyspark.sql import functions as F
 
 from ..functions import (
     gopher_features_expr,
+    repetition_keep_expr,
+    repetition_stat_cols,
+    stage_repetition_chain,
     with_quality_model,
-    with_repetition_features,
 )
 from ..operators.dedup import dedup_corpus
 from ..operators.urlfilter import filter_urls
@@ -46,13 +52,32 @@ def flag_corpus(docs: DataFrame, blocked_hosts: DataFrame | None = None,
             .drop("url_blocked", "block_reason")
     else:
         out = out.withColumn("url_ok", F.lit(True))
+    orig = list(out.columns)
     # NULL text behaves as empty here like in every other gate — a NULL
     # gopher_keep would poison pass_all to NULL (doc vanishes from every
     # funnel bucket and from both curate branches)
-    gf = gopher_features_expr(F.coalesce(F.col(text_col), F.lit("")))
-    out = out.withColumn("gopher_keep", gf["gopher_keep"])
-    out = with_repetition_features(out, text_col)
-    out = with_quality_model(out, text_col)
+    safe = F.coalesce(F.col(text_col), F.lit(""))
+    # ONE tokenization for all three text gates: raw-case tokens (gopher's
+    # alpha/word stats), their lowercase transform (== word_tokens_expr of
+    # the same text — lower() never creates or destroys ASCII whitespace),
+    # and the staged gram chain (__g2 feeds gopher's bigram stat AND the
+    # quality model's features; __g2..__g10 feed the repetition family).
+    out = out.withColumn(
+        "__rtoks", F.filter(F.split(F.trim(safe), r"\s+"),
+                            lambda t: F.length(t) > 0))
+    out = out.withColumn("__toks", F.transform(F.col("__rtoks"), F.lower))
+    out = stage_repetition_chain(out, safe)
+    out = with_quality_model(out, text_col, toks=F.col("__toks"),
+                             bigrams=F.col("__g2"))
+    gf = gopher_features_expr(safe, toks=F.col("__rtoks"),
+                              bigrams=F.col("__g2"))
+    out = out.select(
+        *orig,
+        gf["gopher_keep"].alias("gopher_keep"),
+        *[c.alias(k) for k, c in repetition_stat_cols().items()],
+        "score_lin", "quality_p", "model_keep",
+    )
+    out = out.withColumn("repetition_keep", repetition_keep_expr())
     return out.withColumn(
         "pass_all",
         F.col("url_ok") & F.col("gopher_keep") & F.col("repetition_keep")

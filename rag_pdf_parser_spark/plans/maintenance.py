@@ -24,17 +24,37 @@ A crash between (2) and (3) leaves the store briefly ABSENT — readers must
 call `recover_store` first (it undoes a half-finished swap by renaming the
 trash back). On a real deployment the whole dance is a single Iceberg
 metadata swap; this module documents and tests the exact same commit
-semantics on plain dirs. Run compaction in the maintenance window, not
-concurrently with writers (same rule as Iceberg rewriteDataFiles without
-a metastore lock).
+semantics on plain dirs.
+
+Writer exclusion is ENFORCED, not assumed (r4 verdict #9): every compact_*
+acquires the same `plans.lease.WriterLease` on the store's parent dir that
+`ExtractionPipeline.run` takes on its out_dir — a compaction racing a live
+pipeline (or another compaction) raises LeaseHeldError instead of swapping
+files out from under it. The one unleased writer is the streaming LSH
+query (a single long-lived query by construction): stopping the stream IS
+its maintenance window, documented in streaming/minhash.py.
+
+`compact_output` extends the same two-rename commit to the pipeline's
+MANIFEST (r4 verdict #7): committed batches are folded into one base
+batch — content sinks first (appended UNCOMMITTED under the new base
+batch_id, invisible), then the manifest dir is atomically swapped to a
+commit log containing only the base batch, then the now-orphaned old
+content partitions are vacuumed under the held lease. Readers see the old
+batches right up to the manifest swap and exactly the base batch after
+it; a crash at any rename is recovered by `recover_store`, which the
+pipeline calls at every committed-read entry point.
 """
 
 from __future__ import annotations
 
 import os
 import shutil
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .lease import WriterLease
 
 
 def _tmp(path: str) -> str:
@@ -69,14 +89,28 @@ def compact_table(spark: SparkSession, path: str,
                   dedup_keys: list[str],
                   partition_by: list[str] | None = None,
                   target_files_per_partition: int = 1,
-                  preserve_files: list[str] | None = None) -> dict:
+                  preserve_files: list[str] | None = None,
+                  lease_stale_sec: float = 3600.0) -> dict:
     """Rewrite the parquet table at `path` with duplicate rows (by
     `dedup_keys`) collapsed and small append files coalesced — the
     MERGE-maintenance job. Preserves (or re-establishes) the
     `partition_by` layout so downstream partition pruning keeps working.
+    Holds the parent-dir writer lease for the duration (module docstring).
 
     Returns {"rows_before", "rows_after", "files_before", "files_after"}.
     """
+    with WriterLease(os.path.dirname(path.rstrip("/")) or ".",
+                     lease_stale_sec):
+        return _compact_table_locked(spark, path, dedup_keys, partition_by,
+                                     target_files_per_partition,
+                                     preserve_files)
+
+
+def _compact_table_locked(spark: SparkSession, path: str,
+                          dedup_keys: list[str],
+                          partition_by: list[str] | None = None,
+                          target_files_per_partition: int = 1,
+                          preserve_files: list[str] | None = None) -> dict:
     recover_store(path)
     df = spark.read.parquet(path)
     files_before = sum(
@@ -120,6 +154,64 @@ def compact_seen_hashes(spark: SparkSession, path: str) -> dict:
     INSERT OR IGNORE upsert semantics (persistent.py:158-190) re-established
     over the append-only log."""
     return compact_table(spark, path, ["hash", "kind"])
+
+
+def compact_output(spark: SparkSession, out_dir: str,
+                   fmt: str = "parquet",
+                   lease_stale_sec: float = 3600.0) -> dict:
+    """Fold an ExtractionPipeline out_dir's committed ``batch_id=`` batches
+    into ONE base batch — manifest maintenance (r4 verdict #7). The commit
+    log grows a dir per run forever; after thousands of runs the listing
+    and the per-sink small-file count dominate. Protocol, under the held
+    writer lease (no run can start or commit while it proceeds):
+
+        1. read committed rows of each content sink, append them under
+           ``batch_id=base-<token>``   — UNCOMMITTED, invisible to readers
+        2. write the committed manifest rows to manifest.__compact_tmp as
+           the single partition ``batch_id=base-<token>``
+        3. atomic_swap(manifest)       ← COMMIT: the log now lists exactly
+           the base batch, whose content rows are the same rows
+        4. vacuum the now-orphaned old content partitions (age 0 is safe:
+           the lease guarantees no writer is in flight)
+
+    Crash anywhere before (3): extra uncommitted base partitions that the
+    age-guarded vacuum reclaims — state is the pre-compaction one. Crash
+    between the two renames inside (3): `recover_store` (called by every
+    pipeline committed-read entry point) restores the old manifest. Crash
+    after (3): committed state is the base batch; orphans age out.
+
+    Readers therefore see the pre-compaction batches up to the instant of
+    the swap and exactly-equal rows after it. Returns
+    {"batches_before", "batches_after", "removed_dirs"}.
+    """
+    from .pipeline import ExtractionPipeline
+
+    p = ExtractionPipeline(spark, out_dir)
+    with WriterLease(out_dir, lease_stale_sec):
+        ids = p.committed_batch_ids()
+        if len(ids) <= 1:
+            return {"batches_before": len(ids), "batches_after": len(ids),
+                    "removed_dirs": 0}
+        base = f"base-{uuid.uuid4().hex[:12]}"
+        for sink in (p.docs_path, p.blocks_path, p.chunks_path):
+            if not os.path.isdir(sink):
+                continue
+            rows = (spark.read.format(fmt).load(sink)
+                    .where(F.col("batch_id").isin(ids))
+                    .withColumn("batch_id", F.lit(base)))
+            (rows.write.mode("append").partitionBy("batch_id")
+             .format(fmt).save(sink))
+        manifest = (spark.read.parquet(p.manifest_path)
+                    .where(F.col("batch_id").isin(ids))
+                    .withColumn("batch_id", F.lit(base)))
+        tmp = _tmp(p.manifest_path)
+        if os.path.exists(tmp):  # leftover from an earlier crash
+            shutil.rmtree(tmp)
+        manifest.write.partitionBy("batch_id").parquet(tmp)
+        atomic_swap(p.manifest_path)
+        removed = p.vacuum_uncommitted(0)
+        return {"batches_before": len(ids), "batches_after": 1,
+                "removed_dirs": removed}
 
 
 def compact_lsh_store(spark: SparkSession, path: str) -> dict:

@@ -59,17 +59,29 @@ from ..schema import MANIFEST_SCHEMA
 
 class ExtractionPipeline:
     def __init__(self, spark: SparkSession, out_dir: str,
-                 partitions: int | None = None) -> None:
+                 partitions: int | None = None,
+                 lease_stale_sec: float = 3600.0) -> None:
         self.spark = spark
         self.out_dir = out_dir
         self.partitions = partitions
+        self.lease_stale_sec = lease_stale_sec
         self.manifest_path = os.path.join(out_dir, "manifest")
         self.docs_path = os.path.join(out_dir, "docs")
         self.blocks_path = os.path.join(out_dir, "blocks")
         self.chunks_path = os.path.join(out_dir, "chunks")
 
+    def _recover_manifest(self) -> None:
+        # a manifest compaction (maintenance.compact_output) that died
+        # between its two swap renames left the commit log in the trash
+        # dir — restore before ANY read of committed state, or readers see
+        # an empty table and a fresh run re-extracts everything
+        from .maintenance import recover_store
+
+        recover_store(self.manifest_path)
+
     # -- resume gate ----------------------------------------------------------
     def processed_urls(self) -> DataFrame | None:
+        self._recover_manifest()
         if not os.path.exists(self.manifest_path):
             return None
         try:
@@ -107,9 +119,19 @@ class ExtractionPipeline:
         C4-style URL gate (operators.urlfilter) BEFORE extraction: blocked
         pages never reach the Arrow stage — they are only recorded in the
         manifest as failure_code='URL_BLOCKED', so resume skips them
-        forever and the expensive kernel pays nothing for them."""
-        return self._run(pages, run_id, with_chunks, fmt, dedupe,
-                         url_blocklist)
+        forever and the expensive kernel pays nothing for them.
+
+        SINGLE WRITER, enforced: the whole run holds the out_dir writer
+        lease (plans/lease.py — atomic mkdir, stale-age takeover after
+        `lease_stale_sec`, owner re-validated at the commit point). A
+        second concurrent run on the same out_dir raises LeaseHeldError at
+        start instead of silently committing duplicate urls; a writer
+        whose stale lock was stolen aborts before its commit rename."""
+        from .lease import WriterLease
+
+        with WriterLease(self.out_dir, self.lease_stale_sec) as lease:
+            return self._run(pages, run_id, with_chunks, fmt, dedupe,
+                             url_blocklist, lease)
 
     # -- commit protocol -------------------------------------------------------
     def committed_batch_ids(self) -> list[str]:
@@ -117,6 +139,7 @@ class ExtractionPipeline:
         ``batch_id=<token>`` dir per committed batch (created by the atomic
         rename in `_commit`). Control-plane metadata — one entry per *run*,
         not per row, so a driver-side listing stays tiny at any data scale."""
+        self._recover_manifest()
         if not os.path.isdir(self.manifest_path):
             return []
         return sorted(
@@ -156,42 +179,51 @@ class ExtractionPipeline:
         in a content sink, absent from the manifest commit log) plus
         abandoned staging dirs. Returns the number of directories removed.
         Safe to run concurrently with readers: committed readers never look
-        at these paths. Orphan BATCH dirs are provably dead (absent from
-        the commit log means their run already failed), but a staging dir
-        may belong to a run that is between its manifest write and its
-        commit rename RIGHT NOW — deleting it would make that rename fail
-        and abort a healthy batch — so staging dirs are only reclaimed
-        after `staging_min_age_sec` of no modification (pass 0 only when
-        no run can be in flight)."""
+        at these paths. But an uncommitted dir is NOT provably dead just by
+        being absent from the commit log — a live run sits between its
+        content-sink append and its commit rename for the whole extraction
+        job, and deleting its batch dirs (or its staging dir) in that window
+        would let the commit succeed while referencing vanished content
+        rows: SILENT loss (r4 ADVICE finding — the staging race at least
+        failed loudly at the rename). So BOTH classes are only reclaimed
+        after `staging_min_age_sec` of no modification (pass 0 only when no
+        run can be in flight — e.g. under the same `writer_lease` the
+        runs take)."""
         import time
 
         committed = set(self.committed_batch_ids())
         removed = 0
+        now = time.time()
+
+        def _old_enough(p: str) -> bool:
+            try:
+                return now - os.path.getmtime(p) >= staging_min_age_sec
+            except OSError:  # raced with a concurrent commit/removal
+                return False
+
         for sink in (self.docs_path, self.blocks_path, self.chunks_path):
             if not os.path.isdir(sink):
                 continue
             for d in os.listdir(sink):
+                p = os.path.join(sink, d)
                 if d.startswith("batch_id=") and \
-                        d.split("=", 1)[1] not in committed:
-                    shutil.rmtree(os.path.join(sink, d))
+                        d.split("=", 1)[1] not in committed and \
+                        _old_enough(p):
+                    shutil.rmtree(p)
                     removed += 1
         staging_root = os.path.join(self.out_dir, "_staging")
         if os.path.isdir(staging_root):
-            now = time.time()
             for d in os.listdir(staging_root):
                 p = os.path.join(staging_root, d)
-                try:
-                    age = now - os.path.getmtime(p)
-                except OSError:  # raced with a concurrent commit rename
-                    continue
-                if age >= staging_min_age_sec:
+                if _old_enough(p):
                     shutil.rmtree(p)
                     removed += 1
         return removed
 
     def _run(self, pages: DataFrame, run_id: str,
              with_chunks: bool, fmt: str, dedupe: bool = False,
-             url_blocklist: DataFrame | None = None) -> dict:
+             url_blocklist: DataFrame | None = None,
+             lease=None) -> dict:
         todo = self.pending(pages)
         batch_id = f"{run_id}-{uuid.uuid4().hex[:12]}"
         if dedupe:
@@ -278,6 +310,13 @@ class ExtractionPipeline:
             manifest = manifest.unionByName(blocked_manifest)
         staging = os.path.join(self.out_dir, "_staging", batch_id)
         manifest.write.mode("overwrite").parquet(staging)
+        if lease is not None:
+            # commit-point validation: if this run's lock went stale during
+            # a long extraction and another writer stole it, abort HERE —
+            # publishing would race the new owner's batch. touch() first so
+            # a healthy run never looks stale to the next acquirer.
+            lease.assert_held()
+            lease.touch()
         self._commit(staging, batch_id)
         if dedupe:
             from ..functions import normalized_text_hash_expr

@@ -61,17 +61,36 @@ def store_meta_partitions(seen_dir: str) -> int | None:
         return int(json.load(f)["store_partitions"])
 
 
-def write_store_meta(seen_dir: str, n_parts: int) -> None:
+def read_store_meta(seen_dir: str) -> dict | None:
+    """The full persisted store metadata dict, or None if absent."""
+    p = os.path.join(seen_dir, _META_NAME)
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return json.load(f)
+
+
+def write_store_meta(seen_dir: str, n_parts: int,
+                     extra: dict | None = None) -> None:
     """Atomic (tmp + rename) and idempotent: an in-place truncate-write
     could be caught mid-flush by a crash, leaving unparseable JSON that
     bricks every later `_resolve_store_partitions`; a no-op when the meta
-    already holds the same value (the per-micro-batch call path)."""
-    if store_meta_partitions(seen_dir) == int(n_parts):
-        return
+    already holds the same values (the per-micro-batch call path).
+
+    `extra` merges additional layout-defining fields into the meta (the
+    incremental batch index persists its LSH signature config — bucket
+    values are only comparable when n/num_perm/bands/shingle match)."""
+    existing = read_store_meta(seen_dir)
+    if existing is not None \
+            and existing.get("store_partitions") == int(n_parts) \
+            and all(existing.get(k) == v for k, v in (extra or {}).items()):
+        return  # nothing to change; never drop fields another writer set
+    meta = {**(existing or {}), "store_partitions": int(n_parts),
+            **(extra or {})}
     os.makedirs(seen_dir, exist_ok=True)
     tmp = os.path.join(seen_dir, _META_NAME + ".tmp")
     with open(tmp, "w") as f:
-        json.dump({"store_partitions": int(n_parts)}, f)
+        json.dump(meta, f)
     os.replace(tmp, os.path.join(seen_dir, _META_NAME))
 
 

@@ -91,6 +91,30 @@ def test_jaccard_exact(spark, docs_df):
     assert got[("d00", "d03")] == pytest.approx(py_jaccard(texts["d00"], texts["d03"]), abs=1e-6)
     assert got[("d00", "d07")] < 0.05
 
+    # ADVICE r4: word-shingle mode verifies in the TOKEN n-gram space (the
+    # space word-MinHash-LSH approximates), not char space — values must
+    # equal the pure-Python word-gram Jaccard (hashed-gram sets are
+    # collision-free at this scale)
+    gotw = {(r["id_a"], r["id_b"]): r["jaccard"]
+            for r in ngram_jaccard_pairs(docs_df, pairs, n=3,
+                                         shingle="word").collect()}
+
+    def py_word_jaccard(a, b, n=3):
+        import re
+        sets = []
+        for t in (a, b):
+            toks = re.sub(r"\s+", " ", t.lower()).strip(" ").split(" ")
+            grams = {" ".join(toks[i:i + n])
+                     for i in range(len(toks) - n + 1)} or {""}
+            sets.append(grams)
+        return round(len(sets[0] & sets[1]) / len(sets[0] | sets[1]), 6)
+
+    for ia, ib in [("d00", "d01"), ("d00", "d03"), ("d00", "d07")]:
+        assert gotw[(ia, ib)] == pytest.approx(
+            py_word_jaccard(texts[ia], texts[ib]), abs=1e-6), (ia, ib)
+    with pytest.raises(ValueError, match="char.*word"):
+        ngram_jaccard_pairs(docs_df, pairs, shingle="sentence")
+
 
 def test_simhash_near_dups_close(spark, docs_df):
     rows = {r["doc_id"]: r["simhash"] for r in simhash(docs_df).collect()}
@@ -362,6 +386,17 @@ def test_simhash_near_dup_pairs_banded(spark, docs_df):
     with pytest.raises(ValueError, match="divide"):
         simhash_near_dup_pairs(docs_df, bands=5)
 
+    # ADVICE r4: bands=1 (width == bits) needs the two's-complement all-ones
+    # mask — 2^64-1 overflows a LongType literal. Degenerate config: one
+    # band == the whole fingerprint, so only hamming-0 pairs share a bucket
+    # (exact-fingerprint blocking); with max_hamming=0 that is lossless.
+    got1 = {(r["id_a"], r["id_b"])
+            for r in simhash_near_dup_pairs(docs_df, bands=1,
+                                            max_hamming=0).collect()}
+    expect1 = {(a, b) for i, a in enumerate(ids) for b in ids[i + 1:]
+               if ham(fps[a], fps[b]) == 0}
+    assert got1 == expect1, (got1, expect1)
+
 
 def test_url_filter_gate(spark):
     """Domain blocklist covers subdomains (suffix-chain semi-join);
@@ -433,6 +468,37 @@ def test_url_filter_gate(spark):
                   filter_urls(with_null, blocked, action="drop").collect()) \
         == [1, 2]
 
+    # ADVICE r4: an exact-host blocklist entry DEEPER than MAX_HOST_LABELS
+    # must still match (the capped chain used to drop the full host); its
+    # subdomains beyond the cap need not, but the capped suffixes still do
+    deep_host = "a.b.c.d.e.f.g.example"      # 8 labels > cap of 6
+    deep = spark.createDataFrame(
+        [(20, f"https://{deep_host}/x"),      # exact deep host
+         (21, f"https://www.{deep_host}/x"),  # 9 labels, suffix is capped out
+         (22, "https://g.example/x")],
+        "doc_id long, url string")
+    deep_list = spark.createDataFrame([(deep_host,)], "host string")
+    got4 = {r["doc_id"]: r["url_blocked"]
+            for r in filter_urls(deep, deep_list).collect()}
+    assert got4 == {20: True, 21: False, 22: False}, got4
+    sfx_deep = spark.range(1).select(
+        host_suffixes_expr(F.lit(deep_host)).alias("s")).collect()[0]["s"]
+    assert sfx_deep[0] == deep_host and len(sfx_deep) == 7, sfx_deep
+
+    # scale shape: the domain gate is per-depth BROADCAST probes — no
+    # Generate, no join-back, zero Exchange of the corpus regardless of hit
+    # density (the r4 explode+join-back form shuffled on url when the hit
+    # set outgrew broadcast)
+    plan = filter_urls(docs, blocked)._jdf.queryExecution().executedPlan() \
+        .toString()
+    # the only permitted exchange is the blocklist-side distinct() (tiny,
+    # inside the broadcast build) — the CORPUS is never hash-exchanged
+    ex_lines = [ln for ln in plan.splitlines()
+                if "Exchange hashpartitioning" in ln]
+    assert all("host#" in ln for ln in ex_lines), plan
+    assert "Generate" not in plan, plan
+    assert plan.count("BroadcastHashJoin") == 7, plan
+
 
 def test_dedup_corpus_end_to_end(spark, docs_df):
     """One-call near-dedup recipe: exact triplet collapses to its min id,
@@ -459,6 +525,16 @@ def test_dedup_corpus_end_to_end(spark, docs_df):
     # columns preserved
     out = dedup_corpus(docs_df)
     assert set(out.columns) == {"doc_id", "text"}
+
+    # ADVICE r4: shingle='word' must VERIFY in word-gram space too (the
+    # published recipe thresholds word-shingle Jaccard; verifying word-LSH
+    # candidates with char-gram Jaccard thresholds a different metric).
+    # The one-word variants d03..d05 share all but ~1 of their word 3-grams
+    # with d00 (word-jaccard >> 0.5) → absorbed; unrelated docs survive.
+    keptw = sorted(r["doc_id"]
+                   for r in dedup_corpus(docs_df, jaccard_threshold=0.5,
+                                         n=3, shingle="word").collect())
+    assert keptw == ["d00"] + [f"d{i:02d}" for i in range(6, 20)], keptw
 
 
 def test_curate_corpus_funnel(spark):
@@ -535,7 +611,120 @@ def test_curate_corpus_funnel(spark):
         assert kept_nd == [4, 5, 6], kept_nd
 
 
-def test_repetition_features_known_values(spark):
+def test_dedup_corpus_incremental_store(spark, tmp_path, docs_df):
+    """r4 verdict #4: incremental dedup against a persisted bucket index —
+    batch A then batch B yields the same canonical set as one run over
+    A∪B; B's store lookup reads ONLY its bp partitions (plan-asserted);
+    a mismatched signature config is rejected loudly."""
+    from rag_pdf_parser_spark.operators.dedup import (
+        dedup_corpus,
+        dedup_corpus_incremental,
+    )
+
+    rows = sorted(docs_df.collect(), key=lambda r: r["doc_id"])
+    a_rows = [(r["doc_id"], r["text"]) for r in rows[:12]]   # d00..d11
+    # batch B: exact dup of d06, near-dup of d00's family, fresh docs
+    b_rows = [("e00", rows[6]["text"]),
+              ("e01", rows[3]["text"].replace("word10", "other10")),
+              ("e02", "a completely fresh document about turbines and "
+                      "impellers spinning in laminar flow for many words"),
+              ("e03", "a completely fresh document about turbines and "
+                      "impellers spinning in laminar flow for many words"),
+              ("e04", "unrelated second fresh text with entirely distinct "
+                      "vocabulary tokens nothing shared across batches")]
+    A = spark.createDataFrame(a_rows, "doc_id string, text string")
+    B = spark.createDataFrame(b_rows, "doc_id string, text string")
+
+    one_shot = sorted(r["doc_id"] for r in
+                      dedup_corpus(A.unionByName(B)).collect())
+
+    store = str(tmp_path / "lsh_index")
+    canon = str(tmp_path / "canon")
+    adm_a = sorted(r["doc_id"] for r in
+                   dedup_corpus_incremental(A, store, canon).collect())
+    assert adm_a == sorted(r["doc_id"] for r in dedup_corpus(A).collect())
+    adm_b = sorted(r["doc_id"] for r in
+                   dedup_corpus_incremental(B, store, canon).collect())
+    got = sorted(r["doc_id"]
+                 for r in spark.read.parquet(canon).collect())
+    assert got == sorted(adm_a + adm_b)
+    assert got == one_shot, (got, one_shot)
+    # the dup/near-dup of batch B were rejected, the fresh pair collapsed
+    assert "e00" not in adm_b and "e01" not in adm_b
+    assert "e02" in adm_b and "e03" not in adm_b and "e04" in adm_b
+
+    # store layout: bp partitions + meta with the signature config
+    import os
+    assert any(d.startswith("bp=") for d in os.listdir(store))
+    from rag_pdf_parser_spark.streaming.minhash import read_store_meta
+    meta = read_store_meta(store)
+    assert meta["lsh_n"] == 5 and meta["lsh_shingle"] == "char"
+
+    # pruned lookup: the store read for a batch's bps carries a
+    # PartitionFilter — orphan partitions' files never open
+    from rag_pdf_parser_spark.streaming.minhash import read_store_pruned
+    plan = read_store_pruned(spark, store, [0, 1])._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "PartitionFilters" in plan and \
+        "bp" in plan.split("PartitionFilters")[1].split("]")[0], plan
+
+    # config drift is rejected, not silently incomparable
+    with pytest.raises(ValueError, match="incomparable"):
+        dedup_corpus_incremental(B, store, canon, n=7)
+
+
+def test_flag_corpus_tokenizes_once_bit_identical(spark):
+    """r4 verdict #2: the composed funnel stages ONE raw split + ONE
+    lowercase transform + ONE gram chain shared by all three text gates.
+    (a) every flag and stat column is bit-identical to the standalone
+    gates run independently (incl. Unicode-whitespace adversaries);
+    (b) the optimized plan carries exactly the 9 chain zip_withs and no
+    second tokenization."""
+    from rag_pdf_parser_spark.functions import (
+        gopher_features_expr,
+        with_quality_model,
+        with_repetition_features,
+    )
+    from rag_pdf_parser_spark.plans.curate import flag_corpus
+
+    rows = [
+        (1, "https://ok.example/a",
+         "Plain good text with Mixed CASE words and more words here."),
+        (2, "https://ok.example/b", None),
+        (3, "https://ok.example/c", ""),
+        (4, "https://ok.example/d", "\xa0leading NBSP　and​zero "
+         "width ÉÀ ünïcode Wörds"),
+        (5, "https://ok.example/e", ("repeat me " * 40) + "end."),
+        (6, "https://ok.example/f", "line one\n\nline two\n\nline one\n\n"
+         "symbols ### ... … {code}"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, url string, text string")
+
+    composed = flag_corpus(docs)
+    # the pre-refactor composition: each gate tokenizes for itself
+    solo = docs.withColumn("url_ok", F.lit(True))
+    solo = solo.withColumn(
+        "gopher_keep",
+        gopher_features_expr(F.coalesce(F.col("text"),
+                                        F.lit("")))["gopher_keep"])
+    solo = with_repetition_features(solo, "text")
+    solo = with_quality_model(solo, "text")
+    solo = solo.withColumn(
+        "pass_all", F.col("url_ok") & F.col("gopher_keep")
+        & F.col("repetition_keep") & F.col("model_keep"))
+
+    assert set(composed.columns) == set(solo.columns)
+    a = {r["doc_id"]: r.asDict() for r in composed.collect()}
+    b = {r["doc_id"]: r.asDict() for r in solo.collect()}
+    assert a == b, {k: (a[k], b[k]) for k in a if a[k] != b[k]}
+
+    plan = composed._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("zip_with") == 9, plan.count("zip_with")
+    # no gate re-tokenizes: the normalized-text split (the standalone
+    # repetition/quality tokenizer) must be absent — the staged lowercase
+    # transform of the single raw split replaces it
+    assert "regexp_replace(lower(" not in plan
+    assert plan.count("split(trim(") == 1, plan.count("split(trim(")
     """Hand-computed Gopher repetition stats on constructed docs."""
     from rag_pdf_parser_spark.functions import with_repetition_features
 

@@ -94,8 +94,10 @@ def test_crash_between_sinks_and_manifest_commit(spark, tmp_path):
     plan = p.read_docs()._jdf.queryExecution().executedPlan().toString()
     assert "batch_id" in plan.split("PartitionFilters")[1].split("]")[0], plan
 
-    # vacuum reclaims the orphan batch dirs; committed rows untouched
-    removed = p.vacuum_uncommitted()
+    # vacuum reclaims the orphan batch dirs; committed rows untouched.
+    # age 0: the test KNOWS no run is in flight — the default age guard
+    # now protects live runs' not-yet-committed batch dirs too (ADVICE r4)
+    removed = p.vacuum_uncommitted(0)
     assert removed >= 3  # docs+blocks+chunks orphans (+ staging if present)
     assert spark.read.parquet(p.docs_path).count() == 60
     assert p.read_docs().count() == 60
@@ -786,6 +788,149 @@ def test_streaming_rejects_legacy_flat_store(spark, tmp_path):
                             str(tmp_path / "ck"))
 
 
+def test_writer_lease_mutual_exclusion(spark, tmp_path):
+    """r4 verdict #3: two pipelines on one out_dir could both pass the
+    resume anti-join for the same urls and commit duplicates. The writer
+    lease makes the second run fail LOUDLY at start; a stolen-stale lease
+    aborts at the commit point, not after it."""
+    from rag_pdf_parser_spark.plans.lease import LeaseHeldError, WriterLease
+    from rag_pdf_parser_spark.plans.maintenance import compact_seen_hashes
+
+    out = str(tmp_path / "lease")
+    pages = synth_pages(spark, 12)
+    p = ExtractionPipeline(spark, out, partitions=2)
+
+    # a held lease blocks a new run — and nothing gets committed
+    holder = WriterLease(out).acquire()
+    with pytest.raises(LeaseHeldError, match="held by another run"):
+        p.run(pages, run_id="r-blocked", with_chunks=False)
+    assert p.committed_batch_ids() == []
+    # ... and blocks maintenance on stores under the same out_dir (#9)
+    seen = os.path.join(out, "seen_hashes")
+    spark.createDataFrame([("h1", "normalized_text", "r")],
+                          "hash string, kind string, source string") \
+        .write.mode("append").parquet(seen)
+    with pytest.raises(LeaseHeldError):
+        compact_seen_hashes(spark, seen)
+    holder.release()
+
+    # released → run proceeds, and releases its own lease afterwards
+    r = p.run(pages, run_id="r1", with_chunks=False)
+    assert r["docs_processed"] == 12
+    assert not os.path.exists(os.path.join(out, "_lock"))
+    assert compact_seen_hashes(spark, seen)["rows_after"] == 1
+
+    # stale takeover: a crashed writer's old lock is stolen after
+    # stale_sec; the displaced writer must fail its commit-point check
+    l1 = WriterLease(out).acquire()
+    os.utime(l1.dir, (1, 1))  # pretend l1's holder died long ago
+    l2 = WriterLease(out).acquire()  # steals
+    with pytest.raises(LeaseHeldError, match="taken over"):
+        l1.assert_held()
+    l1.release()  # non-owner release is a no-op
+    l2.assert_held()
+    l2.release()
+    assert not os.path.exists(l2.dir)
+
+    # a fresh (non-stale) lock is NOT stealable
+    l3 = WriterLease(out).acquire()
+    with pytest.raises(LeaseHeldError):
+        WriterLease(out).acquire()
+    l3.release()
+
+
+def test_two_interleaved_runs_commit_each_url_once(spark, tmp_path):
+    """The interleave the lease exists for: run B starts while run A is
+    between its content append and its manifest commit (both would have
+    passed the resume anti-join for every url). B must be rejected, and
+    committed readers must show each url exactly once."""
+    from rag_pdf_parser_spark.plans.lease import LeaseHeldError
+
+    out = str(tmp_path / "interleave")
+    pages = synth_pages(spark, 10)
+    p1 = ExtractionPipeline(spark, out, partitions=2)
+    p2 = ExtractionPipeline(spark, out, partitions=2)
+    real_commit = p1._commit
+    b_attempted = {}
+
+    def commit_with_interleaved_writer(staging, batch_id):
+        # run B arrives exactly at A's most vulnerable instant
+        with pytest.raises(LeaseHeldError):
+            p2.run(pages, run_id="rB", with_chunks=False)
+        b_attempted["yes"] = True
+        real_commit(staging, batch_id)
+
+    p1._commit = commit_with_interleaved_writer
+    p1.run(pages, run_id="rA", with_chunks=False)
+    assert b_attempted
+    docs = p1.read_docs()
+    assert docs.count() == 10
+    assert docs.select("url").distinct().count() == 10
+    m = spark.read.parquet(p1.manifest_path)
+    assert m.count() == 10 and m.select("url").distinct().count() == 10
+
+
+def test_compact_output_folds_batches(spark, tmp_path):
+    """r4 verdict #7: manifest compaction — committed batches fold into one
+    base batch under the same rename-commit semantics; readers equal
+    before/after; crash between the swap renames is recovered at every
+    committed-read entry point; resume stays exact."""
+    from rag_pdf_parser_spark.plans.lease import LeaseHeldError, WriterLease
+    from rag_pdf_parser_spark.plans.maintenance import compact_output
+
+    out = str(tmp_path / "co")
+    pages = synth_pages(spark, 30)
+    p = ExtractionPipeline(spark, out, partitions=2)
+    p.run(pages.limit(15), run_id="r1", with_chunks=True)
+    p.run(pages, run_id="r2", with_chunks=True)
+    assert len(p.committed_batch_ids()) == 2
+
+    cols = ["url", "doc_id", "extracted_text"]
+    before_docs = p.read_docs().select(*cols).localCheckpoint(eager=True)
+    before_blocks = p.read_blocks().count()
+    before_chunks = p.read_chunks().count()
+
+    # a held lease blocks compaction too
+    holder = WriterLease(out).acquire()
+    with pytest.raises(LeaseHeldError):
+        compact_output(spark, out)
+    holder.release()
+
+    res = compact_output(spark, out)
+    assert res["batches_before"] == 2 and res["batches_after"] == 1, res
+    ids = p.committed_batch_ids()
+    assert len(ids) == 1 and ids[0].startswith("base-"), ids
+    # readers equal before/after
+    after_docs = p.read_docs().select(*cols)
+    assert after_docs.exceptAll(before_docs).count() == 0
+    assert before_docs.exceptAll(after_docs).count() == 0
+    assert p.read_blocks().count() == before_blocks
+    assert p.read_chunks().count() == before_chunks
+    # old content partitions vacuumed: one batch dir per sink
+    for sink in (p.docs_path, p.blocks_path, p.chunks_path):
+        dirs = [d for d in os.listdir(sink) if d.startswith("batch_id=")]
+        assert dirs == [f"batch_id={ids[0]}"], (sink, dirs)
+    # resume is still exact over the folded manifest
+    r = p.run(pages, run_id="r3", with_chunks=True)
+    assert r["docs_processed"] == 0
+    # re-compaction folds the base batch + r3's empty batch back to one
+    res2 = compact_output(spark, out)
+    assert res2["batches_after"] == 1, res2
+    assert p.read_docs().count() == 30
+
+    # crash between the two swap renames: manifest dir absent, trash
+    # present → every committed-read entry point recovers it
+    import shutil as sh
+    sh.move(p.manifest_path, p.manifest_path + ".__compact_trash")
+    assert p.read_docs().count() == 30  # recovered transparently
+    assert os.path.isdir(p.manifest_path)
+    # ... including the resume gate (a non-recovering gate would re-extract
+    # the whole corpus into a duplicate batch)
+    sh.move(p.manifest_path, p.manifest_path + ".__compact_trash")
+    r = p.run(pages, run_id="r4", with_chunks=False)
+    assert r["docs_processed"] == 0
+
+
 def test_vacuum_spares_young_staging(spark, tmp_path):
     """The vacuum must not delete a staging dir that may belong to an
     in-flight run (between manifest write and commit rename) — only ones
@@ -801,6 +946,18 @@ def test_vacuum_spares_young_staging(spark, tmp_path):
     os.utime(young, (1, 1))  # pretend it is ancient
     assert p.vacuum_uncommitted() == 1
     assert not os.path.exists(young)
+
+    # ADVICE r4: a YOUNG uncommitted batch_id= content dir may belong to a
+    # run that is between its sink append and its commit rename — deleting
+    # it would commit a manifest referencing vanished rows (silent loss).
+    # Young → spared; aged → provably-dead orphan → reclaimed.
+    orphan = os.path.join(p.docs_path, "batch_id=inflight-batch")
+    os.makedirs(orphan)
+    assert p.vacuum_uncommitted() == 0
+    assert os.path.isdir(orphan)
+    os.utime(orphan, (1, 1))
+    assert p.vacuum_uncommitted() == 1
+    assert not os.path.exists(orphan)
 
 
 class TestRangeJoin:
