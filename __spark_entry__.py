@@ -239,15 +239,13 @@ def q_repetition_filters(spark, sf_dir):
     return with_repetition_features(d.select("doc_id", "text")).drop("text")
 
 
-def q_url_filter(spark, sf_dir):
-    """C4-style URL gate over synthesized urls: domain blocklist matches the
-    host AND every subdomain (bounded suffix-chain explode + broadcast
-    semi-join, no endswith scan); bad-pattern rules are one codegen
-    alternation. Engine-added op (SURVEY §2.11)."""
-    from rag_pdf_parser_spark.operators.urlfilter import filter_urls
-
-    d = _t(spark, sf_dir, "documents")
-    url = F.concat(
+def _synth_url_expr():
+    """Deterministic url per document (documents.parquet has no url
+    column): every 5th doc on a blocked tracker subdomain, others across
+    per-source sites; every 11th/13th picks up a bad-pattern path. Shared
+    by the url_filter and curation_funnel queries (one definition ↔ one
+    SQL twin)."""
+    return F.concat(
         F.lit("https://"),
         F.when(F.col("doc_id") % 5 == 0, F.lit("ads.tracker.example"))
         .otherwise(F.concat(F.lit("sub"), (F.col("doc_id") % 7).cast("string"),
@@ -256,12 +254,42 @@ def q_url_filter(spark, sf_dir):
         F.when(F.col("doc_id") % 11 == 0, F.lit("/login")).otherwise(F.lit("")),
         F.when(F.col("doc_id") % 13 == 0, F.lit("/img.jpg")).otherwise(F.lit("")),
     )
-    blocked = spark.createDataFrame(
-        [("tracker.example",), ("site-src7.org",)], "host string")
-    out = filter_urls(d.select("doc_id", url.alias("url")), blocked)
+
+
+_URL_BLOCKLIST = (("tracker.example",), ("site-src7.org",))
+
+
+def q_url_filter(spark, sf_dir):
+    """C4-style URL gate over synthesized urls: domain blocklist matches the
+    host AND every subdomain (per-depth broadcast probes of the blocklist —
+    no endswith scan, no corpus shuffle); bad-pattern rules are one codegen
+    alternation. Engine-added op (SURVEY §2.11)."""
+    from rag_pdf_parser_spark.operators.urlfilter import filter_urls
+
+    d = _t(spark, sf_dir, "documents")
+    blocked = spark.createDataFrame(list(_URL_BLOCKLIST), "host string")
+    out = filter_urls(d.select("doc_id", _synth_url_expr().alias("url")),
+                      blocked)
     return out.select(
         "doc_id", "url_blocked",
         F.coalesce("block_reason", F.lit("ok")).alias("block_reason"))
+
+
+def q_curation_funnel(spark, sf_dir):
+    """The composed curation capstone, oracle-checked END TO END (r4
+    verdict #8): flag_corpus computes all four gate flags (URL blocklist,
+    Gopher word gate, Gopher repetition family, hashed quality model) in
+    one tokenize-once pass, and the sequential funnel accounting collapses
+    to a single row — compared against a DuckDB twin that recomputes every
+    flag independently (url/gopher/repetition SQL twins + the kernel-golden
+    quality model) and re-derives the same funnel."""
+    from rag_pdf_parser_spark.plans.curate import curation_funnel_df, flag_corpus
+
+    d = _t(spark, sf_dir, "documents")
+    blocked = spark.createDataFrame(list(_URL_BLOCKLIST), "host string")
+    flagged = flag_corpus(
+        d.select("doc_id", _synth_url_expr().alias("url"), "text"), blocked)
+    return curation_funnel_df(flagged)
 
 
 def q_doc_stats_by_lang(spark, sf_dir):
@@ -1166,6 +1194,10 @@ _EXTRA_KEYS = (
     "events_json",
     "hash_embedding_knn",
     "ivf_topk",
+    # r5: composed curation funnel — end-to-end oracle (all four gate twins
+    # joined + sequential funnel re-derived in SQL); the driver registry is
+    # at its 50-row cap and every individual gate already holds a driver row
+    "curation_funnel",
 )
 
 
@@ -1201,6 +1233,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_filter": q_url_filter,
         "quality_model": q_quality_model,
         "repetition_filters": q_repetition_filters,
+        "curation_funnel": q_curation_funnel,
         "doc_stats_by_lang": q_doc_stats_by_lang,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "minhash_word_pairs": q_minhash_word_pairs,
@@ -1522,6 +1555,56 @@ def _repetition_filters_sql() -> str:
             + " ".join(joins))
 
 
+#: independent DuckDB twin of gopher_features_expr (mode-count formulation
+#: for the repetition stat) — shared by the webtext_quality oracle and the
+#: composed curation-funnel oracle
+_WEBTEXT_SQL = """
+            WITH w AS (
+              SELECT doc_id, text,
+                     list_filter(string_split_regex(trim(text), '\\s+'),
+                                 t -> length(t) > 0) AS toks
+              FROM documents
+            ),
+            f AS (
+              SELECT doc_id, text, toks,
+                     len(toks) AS n_words,
+                     greatest(len(toks), 1)::DOUBLE AS safe_words,
+                     length(regexp_replace(text, '\\s', '', 'g'))::DOUBLE AS word_chars,
+                     len(list_filter(toks, t -> regexp_matches(t, '[A-Za-z]')))::DOUBLE AS alpha_words,
+                     ((length(text) - length(replace(text, '#', '')))
+                      + (length(text) - length(replace(text, '...', ''))) / 3
+                      + (length(text) - length(replace(text, '…', ''))))::DOUBLE AS n_sym,
+                     CASE WHEN len(toks) >= 2
+                          THEN list_transform(range(1, len(toks)),
+                                 i -> lower(toks[i]) || ' ' || lower(toks[i + 1]))
+                          ELSE [] END AS bg
+              FROM w
+            ),
+            g AS (
+              SELECT *, CASE WHEN len(bg) = 0 THEN 0
+                             ELSE len(list_filter(bg,
+                                    x -> x = list_aggregate(bg, 'mode'))) END AS top_cnt,
+                        greatest(len(bg), 1)::DOUBLE AS safe_bg
+              FROM f
+            )
+            SELECT doc_id,
+                   n_words,
+                   round(word_chars / safe_words, 6) AS mean_word_len,
+                   round(alpha_words / safe_words, 6) AS frac_alpha_words,
+                   round(n_sym / safe_words, 6) AS symbol_word_ratio,
+                   round(top_cnt / safe_bg, 6) AS top_bigram_frac,
+                   contains(lower(text), 'lorem ipsum') AS has_lorem,
+                   contains(text, '{') AS has_brace,
+                   regexp_matches(text, '[.!?"]\\s*$') AS ends_terminal_punct,
+                   (n_words >= 50 AND n_words <= 100000
+                    AND word_chars / safe_words >= 3.0
+                    AND word_chars / safe_words <= 10.0
+                    AND n_sym / safe_words < 0.1
+                    AND alpha_words / safe_words > 0.8
+                    AND top_cnt / safe_bg < 0.2) AS gopher_keep
+            FROM g
+"""
+
 _URL_FILTER_SQL = """
 WITH u AS (
   SELECT doc_id,
@@ -1557,6 +1640,38 @@ SELECT doc_id, (dom OR pat) AS url_blocked,
        CASE WHEN dom THEN 'domain' WHEN pat THEN 'pattern'
             ELSE 'ok' END AS block_reason
 FROM f
+"""
+
+
+def _curation_funnel_sql() -> str:
+    """Independent end-to-end twin of the composed curation funnel: each
+    gate's flag recomputed by its own twin (URL SQL, gopher SQL, the
+    generated repetition SQL, the kernel-golden quality model VALUES),
+    joined per doc, then the SAME sequential funnel accounting re-derived
+    in SQL. Every CAST is BIGINT to match the Spark long counters."""
+    from rag_pdf_parser_spark import oracles as O
+
+    qm = O.quality_model_sql()
+    return f"""
+SELECT CAST(count(*) AS BIGINT) AS n_input,
+       CAST(coalesce(sum(CASE WHEN NOT u THEN 1 END), 0) AS BIGINT)
+         AS drop_url,
+       CAST(coalesce(sum(CASE WHEN u AND NOT g THEN 1 END), 0) AS BIGINT)
+         AS drop_gopher,
+       CAST(coalesce(sum(CASE WHEN u AND g AND NOT r THEN 1 END), 0)
+         AS BIGINT) AS drop_repetition,
+       CAST(coalesce(sum(CASE WHEN u AND g AND r AND NOT m THEN 1 END), 0)
+         AS BIGINT) AS drop_model,
+       CAST(coalesce(sum(CASE WHEN u AND g AND r AND m THEN 1 END), 0)
+         AS BIGINT) AS n_pass
+FROM (
+  SELECT NOT uf.url_blocked AS u, wq.gopher_keep AS g,
+         rep.repetition_keep AS r, qm.model_keep AS m
+  FROM ({_URL_FILTER_SQL}) uf
+  JOIN ({_WEBTEXT_SQL}) wq USING (doc_id)
+  JOIN ({_repetition_filters_sql()}) rep USING (doc_id)
+  JOIN ({qm}) qm USING (doc_id)
+)
 """
 
 _MINHASH_WORD_SQL = f"""
@@ -1794,52 +1909,7 @@ def _oracle_sql_all() -> dict[str, str]:
             )
             SELECT id_a, id_b, cosine FROM pairs WHERE cosine >= 0.40
         """,
-        "webtext_quality": """
-            WITH w AS (
-              SELECT doc_id, text,
-                     list_filter(string_split_regex(trim(text), '\\s+'),
-                                 t -> length(t) > 0) AS toks
-              FROM documents
-            ),
-            f AS (
-              SELECT doc_id, text, toks,
-                     len(toks) AS n_words,
-                     greatest(len(toks), 1)::DOUBLE AS safe_words,
-                     length(regexp_replace(text, '\\s', '', 'g'))::DOUBLE AS word_chars,
-                     len(list_filter(toks, t -> regexp_matches(t, '[A-Za-z]')))::DOUBLE AS alpha_words,
-                     ((length(text) - length(replace(text, '#', '')))
-                      + (length(text) - length(replace(text, '...', ''))) / 3
-                      + (length(text) - length(replace(text, '…', ''))))::DOUBLE AS n_sym,
-                     CASE WHEN len(toks) >= 2
-                          THEN list_transform(range(1, len(toks)),
-                                 i -> lower(toks[i]) || ' ' || lower(toks[i + 1]))
-                          ELSE [] END AS bg
-              FROM w
-            ),
-            g AS (
-              SELECT *, CASE WHEN len(bg) = 0 THEN 0
-                             ELSE len(list_filter(bg,
-                                    x -> x = list_aggregate(bg, 'mode'))) END AS top_cnt,
-                        greatest(len(bg), 1)::DOUBLE AS safe_bg
-              FROM f
-            )
-            SELECT doc_id,
-                   n_words,
-                   round(word_chars / safe_words, 6) AS mean_word_len,
-                   round(alpha_words / safe_words, 6) AS frac_alpha_words,
-                   round(n_sym / safe_words, 6) AS symbol_word_ratio,
-                   round(top_cnt / safe_bg, 6) AS top_bigram_frac,
-                   contains(lower(text), 'lorem ipsum') AS has_lorem,
-                   contains(text, '{') AS has_brace,
-                   regexp_matches(text, '[.!?"]\\s*$') AS ends_terminal_punct,
-                   (n_words >= 50 AND n_words <= 100000
-                    AND word_chars / safe_words >= 3.0
-                    AND word_chars / safe_words <= 10.0
-                    AND n_sym / safe_words < 0.1
-                    AND alpha_words / safe_words > 0.8
-                    AND top_cnt / safe_bg < 0.2) AS gopher_keep
-            FROM g
-        """,
+        "webtext_quality": _WEBTEXT_SQL,
         "token_counts": f"""
             SELECT doc_id,
                    len(string_split_regex(trim(text), '\\s+')) AS n_ws_tokens,
@@ -2132,6 +2202,9 @@ def _generated_oracles() -> dict[str, str]:
         "simhash64": O.simhash64_sql,
         "simhash_near_dups": O.simhash_band_pairs_sql,
         "quality_model": O.quality_model_sql,
+        # composed end-to-end funnel twin (uses the quality golden, so it
+        # belongs with the generated oracles and degrades loudly)
+        "curation_funnel": _curation_funnel_sql,
         # fully independent DuckDB SQL twins
         "ann_topk": O.ann_topk_sql,
         "ivf_topk": O.ivf_topk_sql,

@@ -8,8 +8,17 @@ kernel extraction (mapInPandas) → exploded blocks → chunking. Secondary
 timings cover the relational/training-data operator families at the sf dir.
 
 Usage:
-    python bench.py                 # one run at local[$SPARK_GRAFT_CPUS]
-    python bench.py --scaling       # run at local[8] and local[32] in
+    python bench.py                 # DEFAULT: headline + each query-family
+                                    # GROUP in its own subprocess (fresh JVM)
+                                    # — one merged JSON line. Isolation ends
+                                    # the session-contention artifacts that
+                                    # poisoned per-family numbers in r3/r4
+                                    # (tpch_q1 4.7 s → 0.29 s; simhash64
+                                    # ±30% — both adjudicated as harness
+                                    # noise, not code).
+    python bench.py --inprocess     # old single-session run (fast iteration;
+                                    # numbers carry cross-family contention)
+    python bench.py --scaling       # run at local[N] and local[4N] in
                                     # subprocesses; report throughput at both
                                     # + scaling efficiency (BASELINE.md rule)
 """
@@ -26,6 +35,20 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 PAGES_PER_SF = 500_000
 
+#: isolation groups for the default mode — each runs in its own subprocess.
+#: Families sharing setup (the decontamination gram table, the embedding
+#: inputs) share a group; a group is small enough that its own warm-up
+#: covers it and no 16-family session accumulates GC/persist pressure.
+FAMILY_GROUPS: dict[str, tuple[str, ...]] = {
+    "minhash": ("minhash_lsh_xx", "minhash_word_xx"),
+    "simhash": ("simhash64",),
+    "knn": ("knn_cosine", "hash_embedding_knn"),
+    "relational": ("tpch_q1", "asof_join"),
+    "quality": ("webtext_quality", "corpus_line_dedup"),
+    "decontaminate": ("decontaminate_str", "decontaminate_xx"),
+    "curation": ("curation_funnel",),
+}
+
 
 def _sf_from_dir(d: str) -> float:
     base = os.path.basename(d.rstrip("/"))
@@ -35,7 +58,10 @@ def _sf_from_dir(d: str) -> float:
         return 0.1
 
 
-def run_bench() -> dict:
+def run_bench(only_group: str | None = None) -> dict:
+    """Run the bench in ONE session. `only_group` (a FAMILY_GROUPS key)
+    skips the pages synthesis + extraction headline and times just that
+    group's families — the per-subprocess unit of the default mode."""
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from pyspark.sql import functions as F
 
@@ -49,6 +75,11 @@ def run_bench() -> dict:
     from rag_pdf_parser_spark.operators.similarity import brute_force_topk
     from rag_pdf_parser_spark.session import get_spark
     from rag_pdf_parser_spark.sources.pages import synth_pages_dist
+
+    wanted = set(FAMILY_GROUPS[only_group]) if only_group else None
+
+    def want(name: str) -> bool:
+        return wanted is None or name in wanted
 
     sf = _sf_from_dir(SF_DIR)
     n_pages = max(1000, int(PAGES_PER_SF * sf))
@@ -75,41 +106,49 @@ def run_bench() -> dict:
         timings[name] = round(best, 3)
         return out
 
-    # warm the JVM/Arrow path so the headline isn't dominated by startup
-    synth_pages_dist(spark, 512).count()
+    raw_pages = pages = None
+    n_rows = bytes_in = t_extract = 0
+    if only_group is None:
+        # warm the JVM/Arrow path so the headline isn't dominated by startup
+        synth_pages_dist(spark, 512).count()
 
-    # Input prepared OUTSIDE the timed region, url-hash bucketed — the
-    # production layout (Iceberg table bucketed by xxhash64(url) at ingest).
-    # The defusal shuffle itself is timed separately below.
-    raw_pages = synth_pages_dist(spark, n_pages).persist()
-    n_rows = raw_pages.count()
-    bytes_in = raw_pages.select(F.sum(F.length("html"))).collect()[0][0] or 0
-    pages = raw_pages.select("url", "html").repartition(
-        3 * CPUS, F.xxhash64("url")
-    ).persist()
-    pages.count()
+        # Input prepared OUTSIDE the timed region, url-hash bucketed — the
+        # production layout (Iceberg table bucketed by xxhash64(url) at
+        # ingest). The defusal shuffle itself is timed separately below.
+        raw_pages = synth_pages_dist(spark, n_pages).persist()
+        n_rows = raw_pages.count()
+        bytes_in = raw_pages.select(
+            F.sum(F.length("html"))).collect()[0][0] or 0
+        pages = raw_pages.select("url", "html").repartition(
+            3 * CPUS, F.xxhash64("url")
+        ).persist()
+        pages.count()
 
-    timed("salt_shuffle",
-          lambda: raw_pages.select("url", "html")
-          .repartition(3 * CPUS, F.xxhash64("url"))
-          .write.format("noop").mode("overwrite").save())
+        timed("salt_shuffle",
+              lambda: raw_pages.select("url", "html")
+              .repartition(3 * CPUS, F.xxhash64("url"))
+              .write.format("noop").mode("overwrite").save())
 
-    # headline: full extraction (docs materialized, aggregated)
-    docs = extract_docs(pages, salt=False)
-    timed(
-        "extract_e2e",
-        lambda: docs.select(
-            F.count("*").alias("n"),
-            F.sum(F.length("extracted_text")).alias("chars_out"),
-        ).collect()[0],
-    )
-    t_extract = timings["extract_e2e"]
+        # headline: full extraction (docs materialized, aggregated)
+        docs = extract_docs(pages, salt=False)
+        timed(
+            "extract_e2e",
+            lambda: docs.select(
+                F.count("*").alias("n"),
+                F.sum(F.length("extracted_text")).alias("chars_out"),
+            ).collect()[0],
+        )
+        t_extract = timings["extract_e2e"]
 
-    blocks = explode_blocks(extract_docs(pages, salt=False))
-    timed("blocks_explode", lambda: blocks.count())
-    # fused extract+chunk — the pipeline's production shape (no extra shuffle)
-    timed("extract_chunk_fused",
-          lambda: explode_chunks(extract_docs_full(pages, salt=False)).count())
+        blocks = explode_blocks(extract_docs(pages, salt=False))
+        timed("blocks_explode", lambda: blocks.count())
+        # fused extract+chunk — the production shape (no extra shuffle)
+        timed("extract_chunk_fused",
+              lambda: explode_chunks(
+                  extract_docs_full(pages, salt=False)).count())
+    else:
+        # fresh-JVM family subprocess: a tiny job warms codegen/session
+        spark.range(1 << 20).select(F.sum("id")).collect()
 
     if os.environ.get("SPARK_GRAFT_BENCH_ONLY") == "extract":
         pages.unpersist()
@@ -132,49 +171,59 @@ def run_bench() -> dict:
     emb_t = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
     li = spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet"))
 
-    timed("minhash_lsh_xx",
-          lambda: lsh_candidate_pairs(docs_t, id_col="doc_id").count())
-    timed("simhash64",
-          lambda: simhash(docs_t).select(F.sum(F.bit_count("simhash"))).collect())
-    timed("knn_cosine",
-          lambda: brute_force_topk(
-              emb_t, emb_t.where(F.col("vec_id") < 5), k=5).count())
-    timed("tpch_q1",
-          lambda: li.groupBy("l_returnflag", "l_linestatus")
-          .agg(F.sum("l_quantity"), F.sum("l_extendedprice"), F.count("*"))
-          .collect())
+    if want("minhash_lsh_xx"):
+        timed("minhash_lsh_xx",
+              lambda: lsh_candidate_pairs(docs_t, id_col="doc_id").count())
+    if want("simhash64"):
+        timed("simhash64",
+              lambda: simhash(docs_t)
+              .select(F.sum(F.bit_count("simhash"))).collect())
+    if want("knn_cosine"):
+        timed("knn_cosine",
+              lambda: brute_force_topk(
+                  emb_t, emb_t.where(F.col("vec_id") < 5), k=5).count())
+    if want("tpch_q1"):
+        timed("tpch_q1",
+              lambda: li.groupBy("l_returnflag", "l_linestatus")
+              .agg(F.sum("l_quantity"), F.sum("l_extendedprice"),
+                   F.count("*"))
+              .collect())
 
     # round-2 operators
     from rag_pdf_parser_spark.functions import hash_embedding_expr
     from rag_pdf_parser_spark.operators.asof import asof_join
 
-    ev = spark.read.parquet(os.path.join(SF_DIR, "events.parquet"))
-    left = ev.select("event_id", "user_id", "ts")
-    right = ev.where(F.col("event_type") == "login").select(
-        "user_id", "ts", F.col("event_id").alias("login_event"))
-    timed("asof_join",
-          lambda: asof_join(left, right, on="user_id", ts="ts").count())
-    emb_docs = docs_t.select(
-        F.col("doc_id").alias("vec_id"),
-        hash_embedding_expr(F.col("text")).alias("embedding"))
-    timed("hash_embedding_knn",
-          lambda: brute_force_topk(
-              emb_docs, emb_docs.where(F.col("vec_id") < 5), k=5).count())
+    if want("asof_join"):
+        ev = spark.read.parquet(os.path.join(SF_DIR, "events.parquet"))
+        left = ev.select("event_id", "user_id", "ts")
+        right = ev.where(F.col("event_type") == "login").select(
+            "user_id", "ts", F.col("event_id").alias("login_event"))
+        timed("asof_join",
+              lambda: asof_join(left, right, on="user_id", ts="ts").count())
+    if want("hash_embedding_knn"):
+        emb_docs = docs_t.select(
+            F.col("doc_id").alias("vec_id"),
+            hash_embedding_expr(F.col("text")).alias("embedding"))
+        timed("hash_embedding_knn",
+              lambda: brute_force_topk(
+                  emb_docs, emb_docs.where(F.col("vec_id") < 5), k=5).count())
 
     # round-3 operators
     from rag_pdf_parser_spark.functions import gopher_features_expr
     from rag_pdf_parser_spark.operators.dedup import dedup_lines_corpus
 
-    gf = gopher_features_expr(F.col("text"))
-    timed("webtext_quality",
-          lambda: docs_t.select(
-              *[c.alias(k) for k, c in gf.items()])
-          .agg(F.sum(F.col("gopher_keep").cast("int")),
-               F.sum("n_words")).collect())
-    timed("corpus_line_dedup",
-          lambda: dedup_lines_corpus(
-              docs_t.select("doc_id", "text"), id_col="doc_id")
-          .agg(F.sum("n_lines_dropped")).collect())
+    if want("webtext_quality"):
+        gf = gopher_features_expr(F.col("text"))
+        timed("webtext_quality",
+              lambda: docs_t.select(
+                  *[c.alias(k) for k, c in gf.items()])
+              .agg(F.sum(F.col("gopher_keep").cast("int")),
+                   F.sum("n_words")).collect())
+    if want("corpus_line_dedup"):
+        timed("corpus_line_dedup",
+              lambda: dedup_lines_corpus(
+                  docs_t.select("doc_id", "text"), id_col="doc_id")
+              .agg(F.sum("n_lines_dropped")).collect())
 
     # round-4 operators: decontamination string vs int64-hash formulations
     # (same flags — the hash path is the corpus-scale shape) and the
@@ -184,30 +233,40 @@ def run_bench() -> dict:
         token_ngrams_expr,
     )
 
-    bench_grams = docs_t.where(F.col("doc_id") % 97 == 0).select(
-        F.explode(token_ngrams_expr(F.col("text"), 13)).alias("gram")
-    ).limit(2000).localCheckpoint(eager=True)
-    for key, hashed in (("decontaminate_str", False),
-                        ("decontaminate_xx", True)):
-        timed(key,
-              lambda h=hashed: decontaminate_flags(
-                  docs_t.select("doc_id", "text"), bench_grams, hashed=h)
-              .agg(F.sum(F.col("contaminated").cast("int"))).collect())
-    timed("minhash_word_xx",
-          lambda: lsh_candidate_pairs(docs_t, id_col="doc_id",
-                                      shingle="word").count())
+    if want("decontaminate_str") or want("decontaminate_xx"):
+        bench_grams = docs_t.where(F.col("doc_id") % 97 == 0).select(
+            F.explode(token_ngrams_expr(F.col("text"), 13)).alias("gram")
+        ).limit(2000).localCheckpoint(eager=True)
+        for key, hashed in (("decontaminate_str", False),
+                            ("decontaminate_xx", True)):
+            if want(key):
+                timed(key,
+                      lambda h=hashed: decontaminate_flags(
+                          docs_t.select("doc_id", "text"), bench_grams,
+                          hashed=h)
+                      .agg(F.sum(F.col("contaminated").cast("int")))
+                      .collect())
+    if want("minhash_word_xx"):
+        timed("minhash_word_xx",
+              lambda: lsh_candidate_pairs(docs_t, id_col="doc_id",
+                                          shingle="word").count())
 
     # composed curation gates: all four flag families + funnel in one pass
     from rag_pdf_parser_spark.plans.curate import curation_funnel, flag_corpus
 
-    timed("curation_funnel",
-          lambda: curation_funnel(
-              flag_corpus(docs_t.select("doc_id", "text"))))
+    if want("curation_funnel"):
+        timed("curation_funnel",
+              lambda: curation_funnel(
+                  flag_corpus(docs_t.select("doc_id", "text"))))
 
-    pages.unpersist()
-    raw_pages.unpersist()
+    if pages is not None:
+        pages.unpersist()
+        raw_pages.unpersist()
     spark.stop()
 
+    if only_group is not None:
+        return {"group": only_group, "queries": timings, "sf": sf,
+                "cpus": CPUS}
     docs_per_sec = round(n_rows / t_extract, 1) if t_extract else None
     mb_per_sec = round(bytes_in / 1e6 / t_extract, 2) if t_extract else None
     return {
@@ -221,6 +280,32 @@ def run_bench() -> dict:
         "docs_per_sec": docs_per_sec,
         "html_mb_per_sec": mb_per_sec,
     }
+
+
+def run_isolated() -> dict:
+    """DEFAULT mode: the extraction headline in one subprocess, then each
+    FAMILY_GROUPS entry in its own fresh-JVM subprocess (the --scaling
+    pattern, r4 verdict #5) — no 16-family session accumulating GC and
+    executor-memory pressure, so per-family numbers sit at idle
+    steady-state instead of drifting ±30% with in-session contention.
+    Emits the same single JSON line as before, with all families merged."""
+
+    def _sub(env_only: str) -> dict:
+        env = dict(os.environ, SPARK_GRAFT_BENCH_ONLY=env_only)
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, timeout=3600,
+        )
+        if out.returncode != 0:
+            raise RuntimeError(
+                f"bench subprocess {env_only!r} failed:\n{out.stderr[-2000:]}")
+        return json.loads(out.stdout.strip().splitlines()[-1])
+
+    result = _sub("extract")
+    for group in FAMILY_GROUPS:
+        result["queries"].update(_sub(f"family:{group}")["queries"])
+    result["isolation"] = "subprocess-per-family-group"
+    return result
 
 
 def run_scaling(n: int = 2) -> dict:
@@ -267,9 +352,14 @@ def run_scaling(n: int = 2) -> dict:
 
 
 if __name__ == "__main__":
+    bench_only = os.environ.get("SPARK_GRAFT_BENCH_ONLY", "")
     if "--scaling" in sys.argv:
         i = sys.argv.index("--scaling")
         n = int(sys.argv[i + 1]) if len(sys.argv) > i + 1 else 2
         print(json.dumps(run_scaling(n)))
-    else:
+    elif bench_only.startswith("family:"):
+        print(json.dumps(run_bench(only_group=bench_only.split(":", 1)[1])))
+    elif bench_only == "extract" or "--inprocess" in sys.argv:
         print(json.dumps(run_bench()))
+    else:
+        print(json.dumps(run_isolated()))

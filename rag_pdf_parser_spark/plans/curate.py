@@ -85,27 +85,32 @@ def flag_corpus(docs: DataFrame, blocked_hosts: DataFrame | None = None,
     )
 
 
-def curation_funnel(flagged: DataFrame) -> dict:
-    """Per-stage drop accounting over a `flag_corpus` output — ONE
-    aggregation job (control-plane scalars only). Stages are counted
+def curation_funnel_df(flagged: DataFrame) -> DataFrame:
+    """Per-stage drop accounting over a `flag_corpus` output as a ONE-ROW
+    DataFrame — the oracle-comparable form. Stages are counted
     sequentially (a doc dropped by the URL gate isn't re-counted by later
     gates), matching how `curate_corpus` actually filters."""
     # coalesce: F.sum over ZERO rows is NULL — an empty corpus (or slice)
     # must report an all-zero funnel, not crash on int(None)
     c = lambda col: F.coalesce(  # noqa: E731
-        F.sum(col.cast("long")), F.lit(0))
+        F.sum(col.cast("long")), F.lit(0).cast("long"))
     u = F.col("url_ok")
     g = F.col("gopher_keep")
     r = F.col("repetition_keep")
     m = F.col("model_keep")
-    row = flagged.agg(
+    return flagged.agg(
         F.count("*").alias("n_input"),
         c(~u).alias("drop_url"),
         c(u & ~g).alias("drop_gopher"),
         c(u & g & ~r).alias("drop_repetition"),
         c(u & g & r & ~m).alias("drop_model"),
         c(u & g & r & m).alias("n_pass"),
-    ).collect()[0]
+    )
+
+
+def curation_funnel(flagged: DataFrame) -> dict:
+    """`curation_funnel_df` collected to control-plane scalars."""
+    row = curation_funnel_df(flagged).collect()[0]
     return {k: int(row[k]) for k in row.asDict()}
 
 
