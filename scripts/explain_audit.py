@@ -195,16 +195,41 @@ def main() -> None:
         plan_of(qm), ["Scan parquet"],
     ))
 
-    # URL gate: broadcast semi-equi-join on the suffix chain, never a
-    # nested-loop endswith scan
+    # URL gate (r5 shape): per-depth broadcast probes of the blocklist —
+    # no Generate, no join-back, and the CORPUS is never hash-exchanged
+    # (the only permitted exchange builds the broadcast blocklist side).
+    # With a heavily-blocked corpus the r4 explode+join-back form degraded
+    # to a full corpus shuffle on url once the hit set outgrew broadcast;
+    # per-depth probes have no hit-density regime at all.
     uf = E.q_url_filter(spark, SF)
     uf_exec = uf._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in uf_exec, \
         "url gate must not nested-loop"
     assert "BroadcastHashJoin" in uf_exec, "blocklist join must broadcast"
+    assert "Generate" not in uf_exec, "url gate must not explode suffixes"
+    assert all("host#" in ln for ln in uf_exec.splitlines()
+               if "Exchange hashpartitioning" in ln), \
+        "url gate must never hash-exchange the corpus"
     sections.append((
-        "URL/domain gate (suffix-chain broadcast equi-join)",
+        "URL/domain gate (per-depth broadcast probes; zero corpus shuffle)",
         plan_of(uf), ["BroadcastHashJoin"],
+    ))
+
+    # composed curation funnel (r5): ONE tokenization + ONE gram chain
+    # shared by the gopher/repetition/quality gates — 9 zip_withs (chain
+    # levels 2..10), no second normalized-text split
+    fn = E.q_curation_funnel(spark, SF)
+    fn_opt = fn._jdf.queryExecution().optimizedPlan().toString()
+    assert fn_opt.count("zip_with") == 9, \
+        f"funnel must stage one gram chain (9 zip_withs), saw " \
+        f"{fn_opt.count('zip_with')}"
+    # the url-host expr legitimately lowercases the URL column; the banned
+    # pattern is the standalone gates' normalized-TEXT tokenizer
+    assert "regexp_replace(lower(text" not in fn_opt, \
+        "funnel gates must share the single staged tokenization"
+    sections.append((
+        "composed curation funnel (tokenize-once across gates)",
+        plan_of(fn), ["HashAggregate"],
     ))
 
     # simhash banded pairs: hash/merge equi-join on (band, chunk), no BNLJ

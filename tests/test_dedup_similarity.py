@@ -720,10 +720,11 @@ def test_flag_corpus_tokenizes_once_bit_identical(spark):
 
     plan = composed._jdf.queryExecution().optimizedPlan().toString()
     assert plan.count("zip_with") == 9, plan.count("zip_with")
-    # no gate re-tokenizes: the normalized-text split (the standalone
+    # no gate re-tokenizes: the normalized-TEXT split (the standalone
     # repetition/quality tokenizer) must be absent — the staged lowercase
-    # transform of the single raw split replaces it
-    assert "regexp_replace(lower(" not in plan
+    # transform of the single raw split replaces it (the url-host expr is
+    # allowed to lowercase the URL column)
+    assert "regexp_replace(lower(text" not in plan
     assert plan.count("split(trim(") == 1, plan.count("split(trim(")
     """Hand-computed Gopher repetition stats on constructed docs."""
     from rag_pdf_parser_spark.functions import with_repetition_features
