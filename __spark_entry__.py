@@ -1648,11 +1648,23 @@ def _curation_funnel_sql() -> str:
     gate's flag recomputed by its own twin (URL SQL, gopher SQL, the
     generated repetition SQL, the kernel-golden quality model VALUES),
     joined per doc, then the SAME sequential funnel accounting re-derived
-    in SQL. Every CAST is BIGINT to match the Spark long counters."""
+    in SQL. Every CAST is BIGINT to match the Spark long counters.
+
+    flag_corpus coalesces NULL text to '' (a NULL gate flag would poison
+    pass_all), so the twin's gate sub-queries run over a NULL-coalesced
+    shadow of the documents table — the standalone webtext/repetition
+    twins intentionally match their standalone queries on raw text, hence
+    the rewrite here rather than there."""
     from rag_pdf_parser_spark import oracles as O
+
+    def _nn(sql: str) -> str:
+        return sql.replace("FROM documents", "FROM docs_nn")
 
     qm = O.quality_model_sql()
     return f"""
+WITH docs_nn AS (
+  SELECT * REPLACE (coalesce(text, '') AS text) FROM documents
+)
 SELECT CAST(count(*) AS BIGINT) AS n_input,
        CAST(coalesce(sum(CASE WHEN NOT u THEN 1 END), 0) AS BIGINT)
          AS drop_url,
@@ -1667,9 +1679,9 @@ SELECT CAST(count(*) AS BIGINT) AS n_input,
 FROM (
   SELECT NOT uf.url_blocked AS u, wq.gopher_keep AS g,
          rep.repetition_keep AS r, qm.model_keep AS m
-  FROM ({_URL_FILTER_SQL}) uf
-  JOIN ({_WEBTEXT_SQL}) wq USING (doc_id)
-  JOIN ({_repetition_filters_sql()}) rep USING (doc_id)
+  FROM ({_nn(_URL_FILTER_SQL)}) uf
+  JOIN ({_nn(_WEBTEXT_SQL)}) wq USING (doc_id)
+  JOIN ({_nn(_repetition_filters_sql())}) rep USING (doc_id)
   JOIN ({qm}) qm USING (doc_id)
 )
 """

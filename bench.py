@@ -166,10 +166,21 @@ def run_bench(only_group: str | None = None) -> dict:
             "html_mb_per_sec": round(bytes_in / 1e6 / t_extract, 2),
         }
 
-    # training-data / relational families at the sf dir
-    docs_t = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
-    emb_t = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
-    li = spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet"))
+    # training-data / relational families at the sf dir (reads gated per
+    # group: spark.read.parquet does an eager footer/schema read, and a
+    # fresh-JVM family subprocess should not touch tables it never uses)
+    def _want_any(*names: str) -> bool:
+        return any(want(x) for x in names)
+
+    docs_t = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet")) \
+        if _want_any("minhash_lsh_xx", "minhash_word_xx", "simhash64",
+                     "hash_embedding_knn", "webtext_quality",
+                     "corpus_line_dedup", "decontaminate_str",
+                     "decontaminate_xx", "curation_funnel") else None
+    emb_t = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet")) \
+        if want("knn_cosine") else None
+    li = spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet")) \
+        if want("tpch_q1") else None
 
     if want("minhash_lsh_xx"):
         timed("minhash_lsh_xx",

@@ -643,9 +643,32 @@ def dedup_corpus_incremental(increment: DataFrame, store_dir: str,
            (canonical texts fetched from `canon_dir` by a semi-join on the
            hit ids only — at warehouse scale an id-bucketed Iceberg table
            makes this a pruned read),
-        4. admitted docs are appended to `canon_dir`; their (band, bucket,
-           id, bp) rows are appended to the store. `compact_batch_index`
-           is the store's MERGE job.
+        4. admitted docs' (band, bucket, id, bp) rows are appended to the
+           store FIRST, then the docs to `canon_dir` — the crash-safe
+           order. An ORPHAN bucket row (id absent from canon) is
+           semantically inert: a collision with it never verifies (the
+           Jaccard stage finds no canonical text, and a pair that cannot
+           verify never drops anything), so a crash between the two
+           appends costs nothing — the retried increment collides with
+           its own orphan buckets only as SELF-pairs, which are excluded
+           from verification (id_a == id_b proves a prior attempt by this
+           very doc, not a duplicate), so it is admitted exactly once.
+           The REVERSE order is the silent-loss shape: canon rows with no
+           index entries would let every future near-duplicate of them
+           probe, miss, and be admitted forever. A COMPLETED run is
+           retry-idempotent through resume semantics: ids already present
+           in `canon_dir` are anti-joined out of the increment up front
+           (same id ⇒ already admitted — the pipeline's manifest-resume
+           rule), which also guarantees batch and canonical ids are
+           disjoint so a non-self candidate pair is always a genuine
+           cross-corpus pair.
+
+    The whole run holds the writer lease on the STORE's parent directory
+    (plans/lease.py — the same lock `compact_lsh_store` takes on that
+    store): two concurrent increments would each probe before the other
+    appends and both admit near-duplicates of the other's admissions.
+    Co-locate `canon_dir` under the same parent so one lease covers both
+    tables.
 
     The store schema extends the streaming gate's (band, bucket, bp) with
     the OWNER id — the verify stage needs to know which canonical doc a
@@ -665,6 +688,9 @@ def dedup_corpus_incremental(increment: DataFrame, store_dir: str,
 
     Returns the ADMITTED docs (also appended to `canon_dir`).
     """
+    import os as _os
+
+    from ..plans.lease import WriterLease
     from ..plans.maintenance import recover_store
     from ..streaming.minhash import (
         STORE_PARTITIONS,
@@ -676,6 +702,30 @@ def dedup_corpus_incremental(increment: DataFrame, store_dir: str,
     )
 
     spark = increment.sparkSession
+    with WriterLease(_os.path.dirname(store_dir.rstrip("/")) or ".") \
+            as lease:
+        return _dedup_corpus_incremental_locked(
+            spark, increment, store_dir, canon_dir, id_col, text_col,
+            jaccard_threshold, n, num_perm, bands, shingle, max_bucket,
+            store_partitions, lease)
+
+
+def _dedup_corpus_incremental_locked(spark, increment, store_dir, canon_dir,
+                                     id_col, text_col, jaccard_threshold, n,
+                                     num_perm, bands, shingle, max_bucket,
+                                     store_partitions, lease) -> DataFrame:
+    import os as _os
+
+    from ..plans.maintenance import recover_store
+    from ..streaming.minhash import (
+        STORE_PARTITIONS,
+        _resolve_store_partitions,
+        read_store_meta,
+        read_store_pruned,
+        store_partition_expr,
+        write_store_meta,
+    )
+
     recover_store(store_dir)
     recover_store(canon_dir)
     n_parts = _resolve_store_partitions(store_dir,
@@ -692,6 +742,15 @@ def dedup_corpus_incremental(increment: DataFrame, store_dir: str,
             "are incomparable and every seen duplicate would be silently "
             "re-admitted. Rebuild the index to change the config.")
 
+    # resume semantics (retry of a COMPLETED run): an id already in the
+    # canonical corpus is already admitted — anti-join it out up front.
+    # This also makes batch and canonical ids provably disjoint, so the
+    # only same-id candidate pairs below are orphan self-collisions.
+    if _os.path.isdir(canon_dir) and any(
+            f.endswith(".parquet") for f in _os.listdir(canon_dir)):
+        canon_ids = spark.read.parquet(canon_dir).select(id_col)
+        increment = increment.join(canon_ids, id_col, "left_anti")
+
     batch = dedup_corpus(increment, id_col=id_col, text_col=text_col,
                          jaccard_threshold=jaccard_threshold, n=n,
                          num_perm=num_perm, bands=bands, shingle=shingle,
@@ -704,7 +763,6 @@ def dedup_corpus_incremental(increment: DataFrame, store_dir: str,
         .localCheckpoint(eager=True)
     )
 
-    import os as _os
     has_store = _os.path.isdir(store_dir) and any(
         d.startswith("bp=") for d in _os.listdir(store_dir))
     if has_store:
@@ -715,6 +773,12 @@ def dedup_corpus_incremental(increment: DataFrame, store_dir: str,
             buckets.join(seen.select("band", "bucket",
                                      F.col("id").alias("id_b")),
                          ["band", "bucket"])
+            # id_a == id_b can only be an ORPHAN self-collision (batch and
+            # canon ids are disjoint after the resume anti-join): a prior
+            # crashed attempt indexed this doc's buckets but never
+            # published its text — that is this doc's own history, not a
+            # duplicate, so it must not count against admission
+            .where(F.col("id") != F.col("id_b"))
             .select(F.col("id").alias("id_a"), "id_b").distinct()
         )
         canon_hit = (
@@ -740,10 +804,18 @@ def dedup_corpus_incremental(increment: DataFrame, store_dir: str,
     # documented in plans/pipeline.py)
     admitted = admitted.localCheckpoint(eager=True)
     admitted_buckets = admitted_buckets.localCheckpoint(eager=True)
-    admitted.write.mode("append").parquet(canon_dir)
+    # commit-point validation before publishing (same rule as the
+    # pipeline): a stolen-stale lease must abort here, not interleave its
+    # appends with the new owner's
+    lease.assert_held()
+    lease.touch()
+    # BUCKETS FIRST, canon second — the crash-safe order (see docstring
+    # step 4: orphan bucket rows are inert; canon rows without index
+    # entries would silently admit every future near-dup of them)
     write_store_meta(store_dir, n_parts, extra=cfg)
     (admitted_buckets.select("band", "bucket", "id", "bp")
      .write.mode("append").partitionBy("bp").parquet(store_dir))
+    admitted.write.mode("append").parquet(canon_dir)
     return admitted
 
 

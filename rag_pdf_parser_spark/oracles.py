@@ -602,7 +602,9 @@ def quality_model_sql() -> str:
 
     rows = []
     for d, t in _oracle_documents():
-        s = quality_model_score(t)
+        # NULL text scores as empty — quality_model_score_expr coalesces
+        # (a NULL score would lose the row from both gate branches)
+        s = quality_model_score(t if t is not None else "")
         rows.append((d, round_half_up(s, 6), s > 0))
     return values_sql(rows, [("doc_id", "BIGINT"), ("score_lin", "DOUBLE"),
                              ("model_keep", "BOOLEAN")])

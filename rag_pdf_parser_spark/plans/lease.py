@@ -73,10 +73,20 @@ class WriterLease:
                 except OSError:
                     continue  # holder released between mkdir and getmtime
                 if attempt == 0 and age >= self.stale_sec:
-                    # presumed-dead holder: steal once. Two concurrent
-                    # stealers both rmtree (idempotent), then race the
-                    # mkdir — exactly one wins, the loser raises below.
-                    shutil.rmtree(self.dir, ignore_errors=True)
+                    # presumed-dead holder: steal once, via an ATOMIC
+                    # rename to a stealer-unique trash name. Exactly one
+                    # concurrent stealer's rename succeeds; the loser's
+                    # raises ENOENT and it falls through to re-race the
+                    # mkdir. (An rmtree-based steal had a window where the
+                    # losing stealer's rmtree deleted the WINNER's fresh
+                    # lock — two processes both holding the lease.)
+                    trash = f"{self.dir}.stale.{self.token}"
+                    try:
+                        os.rename(self.dir, trash)
+                    except OSError:
+                        pass  # another stealer won the rename
+                    else:
+                        shutil.rmtree(trash, ignore_errors=True)
                     continue
                 raise LeaseHeldError(
                     f"writer lease at {self.dir} held by another run "

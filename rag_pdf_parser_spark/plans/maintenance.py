@@ -100,17 +100,18 @@ def compact_table(spark: SparkSession, path: str,
     Returns {"rows_before", "rows_after", "files_before", "files_after"}.
     """
     with WriterLease(os.path.dirname(path.rstrip("/")) or ".",
-                     lease_stale_sec):
+                     lease_stale_sec) as lease:
         return _compact_table_locked(spark, path, dedup_keys, partition_by,
                                      target_files_per_partition,
-                                     preserve_files)
+                                     preserve_files, lease)
 
 
 def _compact_table_locked(spark: SparkSession, path: str,
                           dedup_keys: list[str],
                           partition_by: list[str] | None = None,
                           target_files_per_partition: int = 1,
-                          preserve_files: list[str] | None = None) -> dict:
+                          preserve_files: list[str] | None = None,
+                          lease: WriterLease | None = None) -> dict:
     recover_store(path)
     df = spark.read.parquet(path)
     files_before = sum(
@@ -140,6 +141,14 @@ def _compact_table_locked(spark: SparkSession, path: str,
         src = os.path.join(path, name)
         if os.path.exists(src):
             shutil.copy2(src, os.path.join(_tmp(path), name))
+    if lease is not None:
+        # commit-point validation (same rule as pipeline._run): a long
+        # compaction whose lock went stale and was stolen must abort HERE
+        # — swapping would discard rows the stealing writer appended to
+        # the store after our read. touch() first so a healthy compaction
+        # never looks stale to the next acquirer.
+        lease.assert_held()
+        lease.touch()
     atomic_swap(path)
     out = spark.read.parquet(path)
     files_after = sum(
@@ -187,7 +196,7 @@ def compact_output(spark: SparkSession, out_dir: str,
     from .pipeline import ExtractionPipeline
 
     p = ExtractionPipeline(spark, out_dir)
-    with WriterLease(out_dir, lease_stale_sec):
+    with WriterLease(out_dir, lease_stale_sec) as lease:
         ids = p.committed_batch_ids()
         if len(ids) <= 1:
             return {"batches_before": len(ids), "batches_after": len(ids),
@@ -208,6 +217,13 @@ def compact_output(spark: SparkSession, out_dir: str,
         if os.path.exists(tmp):  # leftover from an earlier crash
             shutil.rmtree(tmp)
         manifest.write.partitionBy("batch_id").parquet(tmp)
+        # commit-point validation: the content fold above can run long; if
+        # the lock went stale and a pipeline run stole it and COMMITTED a
+        # new batch, swapping our pre-steal commit log would erase that
+        # batch's manifest entry and the vacuum below would delete its
+        # content — silent loss of a committed batch. Abort instead.
+        lease.assert_held()
+        lease.touch()
         atomic_swap(p.manifest_path)
         removed = p.vacuum_uncommitted(0)
         return {"batches_before": len(ids), "batches_after": 1,

@@ -672,6 +672,46 @@ def test_dedup_corpus_incremental_store(spark, tmp_path, docs_df):
     with pytest.raises(ValueError, match="incomparable"):
         dedup_corpus_incremental(B, store, canon, n=7)
 
+    # retry of a COMPLETED increment is a no-op (resume semantics: ids
+    # already canonical are anti-joined out — no duplicate canon rows)
+    assert dedup_corpus_incremental(B, store, canon).count() == 0
+    canon_now = spark.read.parquet(canon)
+    assert canon_now.count() == canon_now.select("doc_id").distinct().count()
+    assert canon_now.count() == len(one_shot)
+
+    # crash-retry: a crashed attempt appended f00's bucket rows (buckets
+    # are written BEFORE canon — the crash-safe order) but never published
+    # its text. The orphan rows are self-collisions only and must not
+    # block f00's own re-admission.
+    from rag_pdf_parser_spark.operators.dedup import lsh_buckets
+    from rag_pdf_parser_spark.streaming.minhash import (
+        store_meta_partitions,
+        store_partition_expr,
+    )
+    C = spark.createDataFrame(
+        [("f00", "an orphaned crash survivor document with plenty of "
+                 "novel words describing centrifuges and flywheels")],
+        "doc_id string, text string")
+    n_parts = store_meta_partitions(store)
+    (lsh_buckets(C, "doc_id", "text")
+     .withColumn("bp", store_partition_expr(F.col("band"), F.col("bucket"),
+                                            n_parts))
+     .select("band", "bucket", "id", "bp")
+     .write.mode("append").partitionBy("bp").parquet(store))
+    adm_c = sorted(r["doc_id"] for r in
+                   dedup_corpus_incremental(C, store, canon).collect())
+    assert adm_c == ["f00"], adm_c
+    assert spark.read.parquet(canon).where(
+        F.col("doc_id") == "f00").count() == 1
+
+    # the writer lease guards the increment too (concurrent increments
+    # would both probe before either appends)
+    from rag_pdf_parser_spark.plans.lease import LeaseHeldError, WriterLease
+    holder = WriterLease(str(tmp_path)).acquire()
+    with pytest.raises(LeaseHeldError):
+        dedup_corpus_incremental(C, store, canon)
+    holder.release()
+
 
 def test_flag_corpus_tokenizes_once_bit_identical(spark):
     """r4 verdict #2: the composed funnel stages ONE raw split + ONE
@@ -726,6 +766,9 @@ def test_flag_corpus_tokenizes_once_bit_identical(spark):
     # allowed to lowercase the URL column)
     assert "regexp_replace(lower(text" not in plan
     assert plan.count("split(trim(") == 1, plan.count("split(trim(")
+
+
+def test_repetition_features_known_values(spark):
     """Hand-computed Gopher repetition stats on constructed docs."""
     from rag_pdf_parser_spark.functions import with_repetition_features
 
