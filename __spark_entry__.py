@@ -1480,8 +1480,12 @@ def _repetition_filters_sql() -> str:
     tops = {2: 0.20, 3: 0.18, 4: 0.16}
     dups = {5: 0.15, 6: 0.14, 7: 0.13, 8: 0.12, 9: 0.11, 10: 0.10}
     ctes = [
-        "base AS (SELECT doc_id, text,"
-        " greatest(length(text)::DOUBLE, 1.0) AS tc FROM documents)",
+        # coalesce NULL text to '' — with_repetition_features does (a NULL
+        # keep flag would vanish from both branches of a gate); latent in
+        # the sf corpora (no NULL texts) but the twin must mirror it
+        "base AS (SELECT doc_id, coalesce(text, '') AS text,"
+        " greatest(length(coalesce(text, ''))::DOUBLE, 1.0) AS tc"
+        " FROM documents)",
         "tok AS (SELECT doc_id,"
         " list_filter(string_split_regex(lower(trim(text)), '\\s+'),"
         " w -> length(w) > 0) AS tk FROM base)",
