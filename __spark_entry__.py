@@ -275,6 +275,18 @@ def q_url_filter(spark, sf_dir):
         F.coalesce("block_reason", F.lit("ok")).alias("block_reason"))
 
 
+def q_domain_stats(spark, sf_dir):
+    """Per-domain corpus triage table (C4 §2.2-style analysis): documents
+    grouped by registrable domain of their (synthesized) url with doc
+    count, total chars, Gopher-keep count, and bad-pattern count — one
+    bounded-key shuffle over pure-projection gate flags."""
+    from rag_pdf_parser_spark.operators.urlfilter import domain_stats
+
+    d = _t(spark, sf_dir, "documents")
+    return domain_stats(
+        d.select("doc_id", _synth_url_expr().alias("url"), "text"))
+
+
 def q_curation_funnel(spark, sf_dir):
     """The composed curation capstone, oracle-checked END TO END (r4
     verdict #8): flag_corpus computes all four gate flags (URL blocklist,
@@ -1198,6 +1210,9 @@ _EXTRA_KEYS = (
     # joined + sequential funnel re-derived in SQL); the driver registry is
     # at its 50-row cap and every individual gate already holds a driver row
     "curation_funnel",
+    # r5: per-domain corpus triage (C4-style analysis table) — independent
+    # DuckDB twin; same cap rationale
+    "domain_stats",
 )
 
 
@@ -1234,6 +1249,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_model": q_quality_model,
         "repetition_filters": q_repetition_filters,
         "curation_funnel": q_curation_funnel,
+        "domain_stats": q_domain_stats,
         "doc_stats_by_lang": q_doc_stats_by_lang,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "minhash_word_pairs": q_minhash_word_pairs,
@@ -1644,6 +1660,69 @@ SELECT doc_id, (dom OR pat) AS url_blocked,
        CASE WHEN dom THEN 'domain' WHEN pat THEN 'pattern'
             ELSE 'ok' END AS block_reason
 FROM f
+"""
+
+
+def _domain_stats_sql() -> str:
+    """Independent twin of q_domain_stats: url synthesis + host extraction
+    from the URL twin, last-2-label domain via list_slice, gopher_keep
+    from the webtext twin (over the NULL-coalesced shadow — domain_stats
+    coalesces), one GROUP BY."""
+
+    def _nn(sql: str) -> str:
+        return sql.replace("FROM documents", "FROM docs_nn")
+
+    return f"""
+WITH docs_nn AS (
+  SELECT * REPLACE (coalesce(text, '') AS text) FROM documents
+),
+hosts AS (
+  SELECT doc_id, url,
+         regexp_replace(
+           regexp_extract(
+             regexp_replace(
+               regexp_replace(lower(url), '^[a-z][a-z0-9+.-]*://', ''),
+               '^[^/@?#]*@', ''),
+             '^([^/:?#]*)', 1),
+           '\\.+$', '') AS host
+  FROM (
+    SELECT doc_id,
+           'https://' || CASE WHEN doc_id % 5 = 0 THEN 'ads.tracker.example'
+                ELSE 'sub' || (doc_id % 7) || '.site-' || source || '.org' END
+           || '/page/' || doc_id
+           || CASE WHEN doc_id % 11 = 0 THEN '/login' ELSE '' END
+           || CASE WHEN doc_id % 13 = 0 THEN '/img.jpg' ELSE '' END AS url
+    FROM docs_nn
+  )
+),
+doms AS (
+  SELECT doc_id, url,
+         coalesce(array_to_string(
+           list_slice(hl, greatest(len(hl) - 1, 1), len(hl)), '.'),
+           '') AS domain
+  FROM (SELECT doc_id, url, string_split(host, '.') AS hl FROM hosts)
+),
+flags AS (
+  SELECT d.doc_id, d.domain,
+         length(nn.text) AS chars,
+         wq.gopher_keep AS keep,
+         regexp_matches(lower(d.url),
+           '(\\.(jpg|jpeg|png|gif|webp|mp4|avi|mp3|zip|exe|css|js)([?#]|$))'
+           || '|([?&](sessionid|sid|phpsessid)=)'
+           || '|(/(login|signin|signup|logout|cart|checkout)([/?#]|$))'
+           || '|(/calendar/[0-9]{{4}}/[0-9]{{2}})') AS pat
+  FROM doms d
+  JOIN docs_nn nn ON nn.doc_id = d.doc_id
+  JOIN ({_nn(_WEBTEXT_SQL)}) wq ON wq.doc_id = d.doc_id
+)
+SELECT domain,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(chars) AS BIGINT) AS total_chars,
+       CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_gopher_keep,
+       CAST(sum(CASE WHEN pat THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_pattern_flagged
+FROM flags GROUP BY domain
 """
 
 
@@ -2221,6 +2300,7 @@ def _generated_oracles() -> dict[str, str]:
         # composed end-to-end funnel twin (uses the quality golden, so it
         # belongs with the generated oracles and degrades loudly)
         "curation_funnel": _curation_funnel_sql,
+        "domain_stats": _domain_stats_sql,
         # fully independent DuckDB SQL twins
         "ann_topk": O.ann_topk_sql,
         "ivf_topk": O.ivf_topk_sql,

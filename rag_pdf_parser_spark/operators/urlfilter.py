@@ -90,6 +90,52 @@ def url_pattern_flag_expr(url: Column,
     return F.lower(url).rlike(combined)
 
 
+def registrable_domain_expr(host: Column, labels: int = 2) -> Column:
+    """Last `labels` labels of the host ('a.b.example.com' → 'example.com')
+    — the C4-style per-domain aggregation key. A public-suffix-list lookup
+    (co.uk etc.) slots in here as a broadcast join when exactness per ccTLD
+    matters; the fixed-depth cut is the standard corpus-analysis
+    approximation."""
+    hl = F.split(host, r"\.")
+    n = F.size(hl)
+    return F.array_join(
+        F.slice(hl, F.greatest(n - (labels - 1), F.lit(1)), F.lit(labels)),
+        ".")
+
+
+def domain_stats(docs: DataFrame, url_col: str = "url",
+                 text_col: str = "text",
+                 patterns: tuple[str, ...] = DEFAULT_URL_PATTERNS
+                 ) -> DataFrame:
+    """Per-domain corpus triage (the C4 §2.2 / RefinedWeb analysis table):
+    one row per registrable domain with document count, total text chars,
+    Gopher-keep count, and bad-URL-pattern count — the table a curation
+    engineer reads to decide which domains to block next.
+
+    Scale shape: the gate flags are pure projections; ONE shuffle on the
+    domain key (bounded cardinality ≪ corpus, partial-aggregated
+    map-side). NULL url/text behave as empty (no row vanishes)."""
+    from ..functions import gopher_features_expr
+
+    safe_text = F.coalesce(F.col(text_col), F.lit(""))
+    gf = gopher_features_expr(safe_text)
+    pat = F.coalesce(
+        url_pattern_flag_expr(F.col(url_col), patterns), F.lit(False))
+    staged = docs.select(
+        F.coalesce(registrable_domain_expr(url_host_expr(F.col(url_col))),
+                   F.lit("")).alias("domain"),
+        F.length(safe_text).alias("__chars"),
+        gf["gopher_keep"].alias("__keep"),
+        pat.alias("__pat"),
+    )
+    return staged.groupBy("domain").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.col("__chars").cast("long")).alias("total_chars"),
+        F.sum(F.col("__keep").cast("long")).alias("n_gopher_keep"),
+        F.sum(F.col("__pat").cast("long")).alias("n_pattern_flagged"),
+    )
+
+
 def filter_urls(docs: DataFrame, blocked_hosts: DataFrame | None = None,
                 url_col: str = "url",
                 patterns: tuple[str, ...] = DEFAULT_URL_PATTERNS,

@@ -611,6 +611,32 @@ def test_curate_corpus_funnel(spark):
         assert kept_nd == [4, 5, 6], kept_nd
 
 
+def test_domain_stats_triage_table(spark):
+    """Per-domain triage: registrable-domain grouping (subdomains fold into
+    their domain), char totals, gopher and pattern counts; NULL url/text
+    rows keep a row under the '' domain."""
+    from rag_pdf_parser_spark.operators.urlfilter import domain_stats
+
+    long_good = " ".join(f"w{i}x" for i in range(60)) + "."
+    rows = [
+        (1, "https://a.shop.example/x", long_good),
+        (2, "https://b.shop.example/y/img.jpg", "short"),
+        (3, "https://shop.example/z", "tiny"),
+        (4, "https://other.org/p", long_good),
+        (5, None, None),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, url string, text string")
+    got = {r["domain"]: r.asDict() for r in domain_stats(docs).collect()}
+    se = got["shop.example"]
+    assert se["n_docs"] == 3
+    assert se["total_chars"] == len(long_good) + len("short") + len("tiny")
+    assert se["n_gopher_keep"] == 1      # only doc 1 passes the word gate
+    assert se["n_pattern_flagged"] == 1  # doc 2's .jpg
+    assert got["other.org"]["n_docs"] == 1
+    assert got["other.org"]["n_gopher_keep"] == 1
+    assert got[""]["n_docs"] == 1 and got[""]["total_chars"] == 0
+
+
 def test_dedup_corpus_incremental_store(spark, tmp_path, docs_df):
     """r4 verdict #4: incremental dedup against a persisted bucket index —
     batch A then batch B yields the same canonical set as one run over
