@@ -6,8 +6,10 @@ for extraction.
 Scale shape: subdomain matching is NOT an endswith scan — each host derives
 its bounded suffix chain (`a.b.co.uk` → [a.b.co.uk, b.co.uk, co.uk]) and the
 blocklist match is per-depth broadcast left joins on the suffix columns
-(real blocklists are ~1e5-1e6 rows, megabytes — one broadcast, reused by
-every depth). ZERO shuffle of the corpus in any hit-density regime: no
+(real blocklists are ~1e5-1e6 rows, megabytes — built and broadcast ONCE:
+AQE canonicalizes the seven build sides and runtime-reuses one broadcast
+stage for the other six, asserted on the executed final plan in tests).
+ZERO shuffle of the corpus in any hit-density regime: no
 Generate, no join-back on url (the r4 formulation exploded suffixes into a
 side table and left-joined the hit urls back — correct, but with a
 heavily-blocked corpus the hit set outgrows the broadcast threshold and the

@@ -498,6 +498,14 @@ def test_url_filter_gate(spark):
     assert all("host#" in ln for ln in ex_lines), plan
     assert "Generate" not in plan, plan
     assert plan.count("BroadcastHashJoin") == 7, plan
+    # the blocklist is BUILT AND BROADCAST ONCE: AQE canonicalizes the 7
+    # per-depth build sides and reuses one broadcast stage for the rest
+    # (visible only in the executed final plan, not the static one)
+    executed = filter_urls(docs, blocked)
+    executed.collect()
+    final = executed._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in final
+    assert final.count("Reused") >= 6, final.count("Reused")
 
 
 def test_dedup_corpus_end_to_end(spark, docs_df):

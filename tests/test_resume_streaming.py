@@ -569,6 +569,45 @@ def test_streaming_extraction_matches_batch(spark, tmp_path):
     assert after.select("url").distinct().count() == 150
 
 
+def test_streaming_curation_gates_match_batch(spark, tmp_path):
+    """The curation gates are stateless projections + a stream-static
+    broadcast join, so the SAME flag_corpus plan runs unchanged over a
+    micro-batched stream — every flag equal to the batch run per doc."""
+    from rag_pdf_parser_spark.plans.curate import flag_corpus
+
+    good = " ".join(f"tok{i}ax" for i in range(70)) + "."
+    rows = [
+        (1, "https://spam.example/x", good),
+        (2, "https://ok.example/a", "too short"),
+        (3, "https://ok.example/b", good),
+        (4, "https://ok.example/c/img.jpg", good),
+        (5, "https://ok.example/d", None),
+        (6, "https://ok.example/e", ("repeat me " * 50) + "end."),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, url string, text string")
+    blocked = spark.createDataFrame([("spam.example",)], "host string")
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "flags_out")
+    ck = str(tmp_path / "ck")
+    docs.repartition(3).write.parquet(src)
+
+    stream = (spark.readStream.schema(docs.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    q = (flag_corpus(stream, blocked)
+         .writeStream.format("parquet").option("path", out)
+         .option("checkpointLocation", ck)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+
+    cols = ["url_ok", "gopher_keep", "repetition_keep", "model_keep",
+            "pass_all"]
+    got = {r["doc_id"]: tuple(r[c] for c in cols)
+           for r in spark.read.parquet(out).collect()}
+    exp = {r["doc_id"]: tuple(r[c] for c in cols)
+           for r in flag_corpus(docs, blocked).collect()}
+    assert got == exp, (got, exp)
+
+
 def test_streaming_minhash_dedup_gate(spark, tmp_path):
     """Streaming near-dup gate: docs colliding with the PERSISTED bucket
     store (or with an earlier doc in the same batch) are dropped; the store
