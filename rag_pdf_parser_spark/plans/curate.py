@@ -126,3 +126,36 @@ def curate_corpus(docs: DataFrame, blocked_hosts: DataFrame | None = None,
         return kept
     return dedup_corpus(kept, id_col=id_col, text_col=text_col,
                         jaccard_threshold=jaccard_threshold)
+
+
+def curate_corpus_incremental(increment: DataFrame, store_dir: str,
+                              canon_dir: str,
+                              blocked_hosts: DataFrame | None = None,
+                              id_col: str = "doc_id", url_col: str = "url",
+                              text_col: str = "text",
+                              jaccard_threshold: float = 0.8
+                              ) -> tuple[DataFrame, dict]:
+    """The DAILY-INCREMENT production entrypoint: gate flags (tokenize-once
+    pass) → sequential funnel accounting → pass_all filter → incremental
+    near-dedup against the persisted bucket index + accumulated canonical
+    corpus (`operators.dedup.dedup_corpus_incremental` — bp-pruned store
+    probes, crash-safe append order, writer-leased).
+
+    Returns (admitted_docs, funnel) where `funnel` extends the per-gate
+    accounting with `drop_dedup` (gate survivors rejected as near-dups of
+    this batch or the accumulated corpus) and `n_admitted` — so
+    n_input = drops + n_admitted stays exact end-to-end. Run nightly over
+    the day's crawl: the accumulated corpus is never re-shingled, only the
+    increment is."""
+    from ..operators.dedup import dedup_corpus_incremental
+
+    flagged = flag_corpus(increment, blocked_hosts, url_col, text_col)
+    funnel = curation_funnel(flagged)
+    kept = flagged.where(F.col("pass_all")).select(*increment.columns)
+    admitted = dedup_corpus_incremental(
+        kept, store_dir, canon_dir, id_col=id_col, text_col=text_col,
+        jaccard_threshold=jaccard_threshold)
+    n_admitted = admitted.count()
+    funnel["drop_dedup"] = funnel["n_pass"] - n_admitted
+    funnel["n_admitted"] = n_admitted
+    return admitted, funnel

@@ -619,6 +619,59 @@ def test_curate_corpus_funnel(spark):
         assert kept_nd == [4, 5, 6], kept_nd
 
 
+def test_curate_corpus_incremental_end_to_end(spark, tmp_path):
+    """Daily-increment entrypoint: gates → funnel → incremental dedup
+    against the persisted index; the extended funnel stays exact
+    (n_input = gate drops + drop_dedup + n_admitted) across batches, and
+    the canonical corpus accumulates without re-admitting near-dups."""
+    import random
+
+    from rag_pdf_parser_spark.kernel.twins import quality_model_score
+    from rag_pdf_parser_spark.plans.curate import curate_corpus_incremental
+
+    def good(seed):
+        rng = random.Random(seed)
+        words = [f"{'abcdefghijklmnop'[rng.randrange(16)]}word{i}"
+                 for i in range(70)]
+        return " ".join(words) + "."
+
+    g1, g2, g3 = good(0), good(1), good(2)  # all pass the pseudo-model
+    assert all(quality_model_score(t) > 0 for t in (g1, g2, g3))
+    blocked = spark.createDataFrame([("spam.example",)], "host string")
+    store = str(tmp_path / "idx")
+    canon = str(tmp_path / "canon")
+
+    A = spark.createDataFrame(
+        [("a0", "https://spam.example/x", g1),   # url gate
+         ("a1", "https://ok.example/a", "too short"),  # gopher gate
+         ("a2", "https://ok.example/b", g1),     # admitted
+         ("a3", "https://ok.example/c", g1),     # exact dup of a2 → dedup
+         ("a4", "https://ok.example/d", g2)],    # admitted
+        "doc_id string, url string, text string")
+    adm_a, fa = curate_corpus_incremental(A, store, canon, blocked)
+    assert fa["n_input"] == 5 and fa["drop_url"] == 1 \
+        and fa["drop_gopher"] == 1, fa
+    assert fa["drop_dedup"] == 1 and fa["n_admitted"] == 2, fa
+    assert sorted(r["doc_id"] for r in adm_a.collect()) == ["a2", "a4"]
+
+    B = spark.createDataFrame(
+        [("b0", "https://ok.example/e", g1.replace("word10", "other10")),
+         ("b1", "https://ok.example/f", g3)],
+        "doc_id string, url string, text string")
+    adm_b, fb = curate_corpus_incremental(B, store, canon, blocked)
+    # b0 is a near-dup of the ACCUMULATED corpus (a2, admitted last batch)
+    assert fb["n_pass"] == 2 and fb["drop_dedup"] == 1 \
+        and fb["n_admitted"] == 1, fb
+    assert [r["doc_id"] for r in adm_b.collect()] == ["b1"]
+    assert sorted(r["doc_id"]
+                  for r in spark.read.parquet(canon).collect()) \
+        == ["a2", "a4", "b1"]
+    for f in (fa, fb):
+        drops = (f["drop_url"] + f["drop_gopher"] + f["drop_repetition"]
+                 + f["drop_model"] + f["drop_dedup"])
+        assert f["n_input"] == drops + f["n_admitted"], f
+
+
 def test_domain_stats_triage_table(spark):
     """Per-domain triage: registrable-domain grouping (subdomains fold into
     their domain), char totals, gopher and pattern counts; NULL url/text
