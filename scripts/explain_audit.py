@@ -232,6 +232,21 @@ def main() -> None:
         plan_of(fn), ["HashAggregate"],
     ))
 
+    # per-domain triage: pure-projection flags + ONE bounded-key shuffle
+    # (partial agg map-side), no join, no Generate
+    ds = E.q_domain_stats(spark, SF)
+    ds_exec = ds._jdf.queryExecution().executedPlan().toString()
+    assert ds_exec.count("Exchange hashpartitioning") == 1, \
+        "domain stats must shuffle exactly once (on the domain key)"
+    assert "Generate" not in ds_exec and "Join" not in ds_exec, \
+        "domain stats must be projection + aggregate only"
+    assert ds_exec.count("HashAggregate") == 2, \
+        "domain stats must partial-aggregate map-side"
+    sections.append((
+        "per-domain corpus triage (one bounded-key shuffle)",
+        plan_of(ds), ["HashAggregate"],
+    ))
+
     # simhash banded pairs: hash/merge equi-join on (band, chunk), no BNLJ
     sd = E.q_simhash_near_dups(spark, SF)
     sd_exec = sd._jdf.queryExecution().executedPlan().toString()
