@@ -1625,35 +1625,47 @@ _WEBTEXT_SQL = """
             FROM g
 """
 
-_URL_FILTER_SQL = """
+#: shared DuckDB fragments — single SQL home for the url synthesis, host
+#: extraction, and bad-pattern rule (mirrored by _synth_url_expr /
+#: url_host_expr / DEFAULT_URL_PATTERNS on the Spark side). Both the
+#: url_filter twin and the domain_stats twin compose these; editing the
+#: recipe in one twin but not the other would otherwise produce a
+#: confusing oracle mismatch in the unedited query.
+_SYNTH_URL_SQL = (
+    "'https://' || CASE WHEN doc_id % 5 = 0 THEN 'ads.tracker.example'"
+    " ELSE 'sub' || (doc_id % 7) || '.site-' || source || '.org' END"
+    " || '/page/' || doc_id"
+    " || CASE WHEN doc_id % 11 = 0 THEN '/login' ELSE '' END"
+    " || CASE WHEN doc_id % 13 = 0 THEN '/img.jpg' ELSE '' END"
+)
+
+_HOST_SQL = (
+    "regexp_replace(regexp_extract(regexp_replace(regexp_replace("
+    "lower(url), '^[a-z][a-z0-9+.-]*://', ''), '^[^/@?#]*@', ''),"
+    " '^([^/:?#]*)', 1), '\\.+$', '')"
+)
+
+_URL_PATTERN_SQL = (
+    "regexp_matches(lower(url),"
+    " '(\\.(jpg|jpeg|png|gif|webp|mp4|avi|mp3|zip|exe|css|js)([?#]|$))'"
+    " || '|([?&](sessionid|sid|phpsessid)=)'"
+    " || '|(/(login|signin|signup|logout|cart|checkout)([/?#]|$))'"
+    " || '|(/calendar/[0-9]{4}/[0-9]{2})')"
+)
+
+_URL_FILTER_SQL = f"""
 WITH u AS (
-  SELECT doc_id,
-         'https://' || CASE WHEN doc_id % 5 = 0 THEN 'ads.tracker.example'
-              ELSE 'sub' || (doc_id % 7) || '.site-' || source || '.org' END
-         || '/page/' || doc_id
-         || CASE WHEN doc_id % 11 = 0 THEN '/login' ELSE '' END
-         || CASE WHEN doc_id % 13 = 0 THEN '/img.jpg' ELSE '' END AS url
+  SELECT doc_id, {_SYNTH_URL_SQL} AS url
   FROM documents
 ), h AS (
-  SELECT doc_id, url,
-         regexp_replace(
-           regexp_extract(
-             regexp_replace(
-               regexp_replace(lower(url), '^[a-z][a-z0-9+.-]*://', ''),
-               '^[^/@?#]*@', ''),
-             '^([^/:?#]*)', 1),
-           '\\.+$', '') AS host
+  SELECT doc_id, url, {_HOST_SQL} AS host
   FROM u
 ), f AS (
   SELECT doc_id, url,
          (host IN ('tracker.example', 'site-src7.org')
           OR host LIKE '%.tracker.example'
           OR host LIKE '%.site-src7.org') AS dom,
-         regexp_matches(lower(url),
-           '(\\.(jpg|jpeg|png|gif|webp|mp4|avi|mp3|zip|exe|css|js)([?#]|$))'
-           || '|([?&](sessionid|sid|phpsessid)=)'
-           || '|(/(login|signin|signup|logout|cart|checkout)([/?#]|$))'
-           || '|(/calendar/[0-9]{4}/[0-9]{2})') AS pat
+         {_URL_PATTERN_SQL} AS pat
   FROM h
 )
 SELECT doc_id, (dom OR pat) AS url_blocked,
@@ -1672,28 +1684,14 @@ def _domain_stats_sql() -> str:
     def _nn(sql: str) -> str:
         return sql.replace("FROM documents", "FROM docs_nn")
 
+    pat_on_d_url = _URL_PATTERN_SQL.replace("lower(url)", "lower(d.url)")
     return f"""
 WITH docs_nn AS (
   SELECT * REPLACE (coalesce(text, '') AS text) FROM documents
 ),
 hosts AS (
-  SELECT doc_id, url,
-         regexp_replace(
-           regexp_extract(
-             regexp_replace(
-               regexp_replace(lower(url), '^[a-z][a-z0-9+.-]*://', ''),
-               '^[^/@?#]*@', ''),
-             '^([^/:?#]*)', 1),
-           '\\.+$', '') AS host
-  FROM (
-    SELECT doc_id,
-           'https://' || CASE WHEN doc_id % 5 = 0 THEN 'ads.tracker.example'
-                ELSE 'sub' || (doc_id % 7) || '.site-' || source || '.org' END
-           || '/page/' || doc_id
-           || CASE WHEN doc_id % 11 = 0 THEN '/login' ELSE '' END
-           || CASE WHEN doc_id % 13 = 0 THEN '/img.jpg' ELSE '' END AS url
-    FROM docs_nn
-  )
+  SELECT doc_id, url, {_HOST_SQL} AS host
+  FROM (SELECT doc_id, {_SYNTH_URL_SQL} AS url FROM docs_nn)
 ),
 doms AS (
   SELECT doc_id, url,
@@ -1706,11 +1704,7 @@ flags AS (
   SELECT d.doc_id, d.domain,
          length(nn.text) AS chars,
          wq.gopher_keep AS keep,
-         regexp_matches(lower(d.url),
-           '(\\.(jpg|jpeg|png|gif|webp|mp4|avi|mp3|zip|exe|css|js)([?#]|$))'
-           || '|([?&](sessionid|sid|phpsessid)=)'
-           || '|(/(login|signin|signup|logout|cart|checkout)([/?#]|$))'
-           || '|(/calendar/[0-9]{{4}}/[0-9]{{2}})') AS pat
+         {pat_on_d_url} AS pat
   FROM doms d
   JOIN docs_nn nn ON nn.doc_id = d.doc_id
   JOIN ({_nn(_WEBTEXT_SQL)}) wq ON wq.doc_id = d.doc_id

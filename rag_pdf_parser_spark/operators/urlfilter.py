@@ -116,19 +116,34 @@ def domain_stats(docs: DataFrame, url_col: str = "url",
 
     Scale shape: the gate flags are pure projections; ONE shuffle on the
     domain key (bounded cardinality ≪ corpus, partial-aggregated
-    map-side). NULL url/text behave as empty (no row vanishes)."""
-    from ..functions import gopher_features_expr
+    map-side). NULL url/text behave as empty (no row vanishes). The
+    whitespace split is STAGED once (tokenize-once discipline — inlining
+    gopher_features_expr's default construction re-evaluates the split
+    per stat column, since CollapseProject duplicates non-cheap siblings
+    and HOFs skip codegen CSE)."""
+    from ..functions import gopher_features_expr, gram_step_expr
 
     safe_text = F.coalesce(F.col(text_col), F.lit(""))
-    gf = gopher_features_expr(safe_text)
     pat = F.coalesce(
         url_pattern_flag_expr(F.col(url_col), patterns), F.lit(False))
-    staged = docs.select(
+    s1 = docs.select(
         F.coalesce(registrable_domain_expr(url_host_expr(F.col(url_col))),
                    F.lit("")).alias("domain"),
-        F.length(safe_text).alias("__chars"),
-        gf["gopher_keep"].alias("__keep"),
+        safe_text.alias("__t"),
+        F.filter(F.split(F.trim(safe_text), r"\s+"),
+                 lambda t: F.length(t) > 0).alias("__rtoks"),
         pat.alias("__pat"),
+    )
+    s2 = s1.withColumn("__low", F.transform(F.col("__rtoks"), F.lower))
+    s3 = s2.withColumn(
+        "__g2", gram_step_expr(F.col("__low"), F.col("__low"), 2))
+    gf = gopher_features_expr(F.col("__t"), toks=F.col("__rtoks"),
+                              bigrams=F.col("__g2"))
+    staged = s3.select(
+        "domain",
+        F.length("__t").alias("__chars"),
+        gf["gopher_keep"].alias("__keep"),
+        "__pat",
     )
     return staged.groupBy("domain").agg(
         F.count("*").alias("n_docs"),

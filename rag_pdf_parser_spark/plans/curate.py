@@ -133,29 +133,57 @@ def curate_corpus_incremental(increment: DataFrame, store_dir: str,
                               blocked_hosts: DataFrame | None = None,
                               id_col: str = "doc_id", url_col: str = "url",
                               text_col: str = "text",
-                              jaccard_threshold: float = 0.8
+                              jaccard_threshold: float = 0.8,
+                              n: int = 5, num_perm: int = 8, bands: int = 4,
+                              shingle: str = "char",
+                              max_bucket: int | None = 10_000,
+                              store_partitions: int | None = None
                               ) -> tuple[DataFrame, dict]:
     """The DAILY-INCREMENT production entrypoint: gate flags (tokenize-once
     pass) → sequential funnel accounting → pass_all filter → incremental
     near-dedup against the persisted bucket index + accumulated canonical
     corpus (`operators.dedup.dedup_corpus_incremental` — bp-pruned store
-    probes, crash-safe append order, writer-leased).
+    probes, crash-safe append order, writer-leased; the LSH config params
+    pass through so a store built with any config is usable here).
 
     Returns (admitted_docs, funnel) where `funnel` extends the per-gate
-    accounting with `drop_dedup` (gate survivors rejected as near-dups of
-    this batch or the accumulated corpus) and `n_admitted` — so
-    n_input = drops + n_admitted stays exact end-to-end. Run nightly over
-    the day's crawl: the accumulated corpus is never re-shingled, only the
-    increment is."""
+    accounting with `drop_already_admitted` (gate survivors whose id is
+    already canonical — a retried or overlapping batch, NOT duplicates),
+    `drop_dedup` (gate survivors rejected as near-dups of this batch or
+    the accumulated corpus), and `n_admitted` — so n_input = all drops +
+    n_admitted stays exact end-to-end. Run nightly over the day's crawl:
+    the accumulated corpus is never re-shingled, only the increment is.
+
+    `flagged` is localCheckpointed before its two consumers (the funnel
+    aggregation and the pass_all filter feeding dedup): without it every
+    gate expression — the tokenize + 9-level gram chain + quality fold —
+    executes twice per row, and the dedup-side plan would also re-read
+    canon_dir after this very call appends to it (the cache-invalidation
+    hazard documented in plans/pipeline.py)."""
+    import os
+
     from ..operators.dedup import dedup_corpus_incremental
 
-    flagged = flag_corpus(increment, blocked_hosts, url_col, text_col)
+    flagged = flag_corpus(increment, blocked_hosts, url_col, text_col) \
+        .localCheckpoint(eager=True)
     funnel = curation_funnel(flagged)
     kept = flagged.where(F.col("pass_all")).select(*increment.columns)
+    n_already = 0
+    from .maintenance import recover_store
+
+    recover_store(canon_dir)  # count against the same state dedup will see
+    if os.path.isdir(canon_dir) and any(
+            f.endswith(".parquet") for f in os.listdir(canon_dir)):
+        canon_ids = increment.sparkSession.read.parquet(canon_dir) \
+            .select(id_col)
+        n_already = kept.join(canon_ids, id_col, "left_semi").count()
     admitted = dedup_corpus_incremental(
         kept, store_dir, canon_dir, id_col=id_col, text_col=text_col,
-        jaccard_threshold=jaccard_threshold)
+        jaccard_threshold=jaccard_threshold, n=n, num_perm=num_perm,
+        bands=bands, shingle=shingle, max_bucket=max_bucket,
+        store_partitions=store_partitions)
     n_admitted = admitted.count()
-    funnel["drop_dedup"] = funnel["n_pass"] - n_admitted
+    funnel["drop_already_admitted"] = n_already
+    funnel["drop_dedup"] = funnel["n_pass"] - n_already - n_admitted
     funnel["n_admitted"] = n_admitted
     return admitted, funnel

@@ -666,9 +666,20 @@ def test_curate_corpus_incremental_end_to_end(spark, tmp_path):
     assert sorted(r["doc_id"]
                   for r in spark.read.parquet(canon).collect()) \
         == ["a2", "a4", "b1"]
-    for f in (fa, fb):
+
+    # retry of B (resume path): b1 is counted as ALREADY-ADMITTED, not as
+    # a near-dup drop — the funnel distinguishes the two (review finding:
+    # conflating them told an operator a retried batch was all duplicates)
+    adm_b2, fb2 = curate_corpus_incremental(B, store, canon, blocked)
+    assert adm_b2.count() == 0
+    assert fb2["drop_already_admitted"] == 1 and fb2["drop_dedup"] == 1 \
+        and fb2["n_admitted"] == 0, fb2
+    assert spark.read.parquet(canon).count() == 3  # nothing re-appended
+
+    for f in (fa, fb, fb2):
         drops = (f["drop_url"] + f["drop_gopher"] + f["drop_repetition"]
-                 + f["drop_model"] + f["drop_dedup"])
+                 + f["drop_model"] + f["drop_already_admitted"]
+                 + f["drop_dedup"])
         assert f["n_input"] == drops + f["n_admitted"], f
 
 
