@@ -287,6 +287,18 @@ def q_domain_stats(spark, sf_dir):
         d.select("doc_id", _synth_url_expr().alias("url"), "text"))
 
 
+def q_dedup_corpus(spark, sf_dir):
+    """The one-call near-dedup recipe (Lee et al. 2022 / RefinedWeb
+    composition) end-to-end: exact → LSH candidates → same-space Jaccard
+    verify → connected components → keep-canonical, compared against an
+    independent local twin of the WHOLE chain (oracles.dedup_corpus_sql:
+    sha256 exact keys, pure-Python XXH64 LSH, set Jaccard, union-find)."""
+    from rag_pdf_parser_spark.operators.dedup import dedup_corpus
+
+    d = _t(spark, sf_dir, "documents")
+    return dedup_corpus(d.select("doc_id", "text")).select("doc_id")
+
+
 def q_curation_funnel(spark, sf_dir):
     """The composed curation capstone, oracle-checked END TO END (r4
     verdict #8): flag_corpus computes all four gate flags (URL blocklist,
@@ -1213,6 +1225,9 @@ _EXTRA_KEYS = (
     # r5: per-domain corpus triage (C4-style analysis table) — independent
     # DuckDB twin; same cap rationale
     "domain_stats",
+    # r5: the one-call dedup recipe composition, against a full local twin
+    # of the chain (each stage already holds its own oracle row)
+    "dedup_corpus",
 )
 
 
@@ -1250,6 +1265,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_filters": q_repetition_filters,
         "curation_funnel": q_curation_funnel,
         "domain_stats": q_domain_stats,
+        "dedup_corpus": q_dedup_corpus,
         "doc_stats_by_lang": q_doc_stats_by_lang,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "minhash_word_pairs": q_minhash_word_pairs,
@@ -2295,6 +2311,7 @@ def _generated_oracles() -> dict[str, str]:
         # belongs with the generated oracles and degrades loudly)
         "curation_funnel": _curation_funnel_sql,
         "domain_stats": _domain_stats_sql,
+        "dedup_corpus": O.dedup_corpus_sql,
         # fully independent DuckDB SQL twins
         "ann_topk": O.ann_topk_sql,
         "ivf_topk": O.ivf_topk_sql,

@@ -312,6 +312,58 @@ def bilingual_markdown_sql(n_pages: int = 300) -> str:
     ])
 
 
+def dedup_corpus_sql(jaccard_threshold: float = 0.8, n: int = 5,
+                     num_perm: int = 8, bands: int = 4) -> str:
+    """Golden for the COMPOSED one-call `dedup_corpus` recipe — the whole
+    exact → LSH-candidates → Jaccard-verify → components → keep-canonical
+    chain re-run locally and independently (sha256 exact keys, pure-Python
+    XXH64 LSH twin, set Jaccard with the same half-up 6-decimal rounding,
+    union-find where Spark uses min-label propagation). The stages are
+    each oracle-checked on their own; this pins their COMPOSITION."""
+    import hashlib
+
+    from .kernel.twins import (
+        char_shingles,
+        lsh_pairs_xx,
+        normalized_text,
+        round_half_up,
+    )
+
+    docs = _oracle_documents()
+    # 1. exact/normalized dedup: min id per hash
+    best: dict[str, int] = {}
+    for d, t in docs:
+        h = hashlib.sha256(normalized_text(t).encode("utf-8")).hexdigest()
+        if h not in best or d < best[h]:
+            best[h] = d
+    texts = dict(docs)
+    survivors = sorted(best.values())
+    # 2. LSH candidates over the exact-deduped set  3. Jaccard verify
+    sh = {d: char_shingles(texts[d], n) for d in survivors}
+    verified = []
+    for a, b in lsh_pairs_xx([(d, texts[d]) for d in survivors],
+                             n, num_perm, bands):
+        inter = len(sh[a] & sh[b])
+        j = inter / (len(sh[a]) + len(sh[b]) - inter)
+        if round_half_up(j, 6) >= jaccard_threshold:
+            verified.append((a, b))
+    # 4./5. union-find (min root) → keep docs that are their own canonical
+    parent: dict = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in verified:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    kept = [(d,) for d in survivors if find(d) == d]
+    return values_sql(kept, [("doc_id", "BIGINT")])
+
+
 def dup_components_sql() -> str:
     """Golden for connected components over the MinHash-LSH pair list:
     independent union-find over kernel.twins.lsh_pairs_xx (the pure-Python
