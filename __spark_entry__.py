@@ -241,13 +241,18 @@ def q_repetition_filters(spark, sf_dir):
 
 def _synth_url_expr():
     """Deterministic url per document (documents.parquet has no url
-    column): every 5th doc on a blocked tracker subdomain, others across
-    per-source sites; every 11th/13th picks up a bad-pattern path. Shared
-    by the url_filter and curation_funnel queries (one definition ↔ one
-    SQL twin)."""
+    column): every 5th doc on a blocked tracker subdomain, a ccTLD slice
+    (`*.example.co.uk` subdomains vs an unrelated `other.co.uk` site —
+    the r5-verdict PSL grouping proof), others across per-source sites;
+    every 11th/13th picks up a bad-pattern path. Shared by the
+    url_filter, curation_funnel, and domain_stats queries (one definition
+    ↔ one SQL twin)."""
     return F.concat(
         F.lit("https://"),
         F.when(F.col("doc_id") % 5 == 0, F.lit("ads.tracker.example"))
+        .when(F.col("doc_id") % 17 == 3, F.lit("a.shop.example.co.uk"))
+        .when(F.col("doc_id") % 17 == 8, F.lit("b.shop.example.co.uk"))
+        .when(F.col("doc_id") % 17 == 12, F.lit("news.other.co.uk"))
         .otherwise(F.concat(F.lit("sub"), (F.col("doc_id") % 7).cast("string"),
                             F.lit(".site-"), F.col("source"), F.lit(".org"))),
         F.lit("/page/"), F.col("doc_id").cast("string"),
@@ -277,14 +282,22 @@ def q_url_filter(spark, sf_dir):
 
 def q_domain_stats(spark, sf_dir):
     """Per-domain corpus triage table (C4 §2.2-style analysis): documents
-    grouped by registrable domain of their (synthesized) url with doc
-    count, total chars, Gopher-keep count, and bad-pattern count — one
+    grouped by PSL-correct registrable domain of their (synthesized) url —
+    `a.shop.example.co.uk` and `b.shop.example.co.uk` group under
+    `example.co.uk` while `news.other.co.uk` stays separate (r5 verdict
+    #2; the fixed 2-label cut collapsed all of them into one 'co.uk' row)
+    — with doc count, total chars, Gopher-keep count, and bad-pattern
+    count. PSL probes are per-depth broadcast joins; still one
     bounded-key shuffle over pure-projection gate flags."""
-    from rag_pdf_parser_spark.operators.urlfilter import domain_stats
+    from rag_pdf_parser_spark.operators.urlfilter import (
+        domain_stats,
+        psl_table,
+    )
 
     d = _t(spark, sf_dir, "documents")
     return domain_stats(
-        d.select("doc_id", _synth_url_expr().alias("url"), "text"))
+        d.select("doc_id", _synth_url_expr().alias("url"), "text"),
+        psl=psl_table(spark))
 
 
 def q_dedup_corpus(spark, sf_dir):
@@ -1218,16 +1231,17 @@ _EXTRA_KEYS = (
     "events_json",
     "hash_embedding_knn",
     "ivf_topk",
-    # r5: composed curation funnel — end-to-end oracle (all four gate twins
-    # joined + sequential funnel re-derived in SQL); the driver registry is
-    # at its 50-row cap and every individual gate already holds a driver row
-    "curation_funnel",
-    # r5: per-domain corpus triage (C4-style analysis table) — independent
-    # DuckDB twin; same cap rationale
-    "domain_stats",
     # r5: the one-call dedup recipe composition, against a full local twin
     # of the chain (each stage already holds its own oracle row)
     "dedup_corpus",
+    # r6 rotation (r5 verdict #8): curation_funnel + domain_stats — the two
+    # ops a curation user actually runs end-to-end — took driver slots from
+    # these two redundant relational rows. Coverage they carried stays in
+    # the driver set: the join shapes via customer_order_counts_outer +
+    # orders_with_returned_items + topk_orders_per_customer, percentile/
+    # window aggs via topk_orders_per_customer + hourly_event_stats.
+    "revenue_by_nation",
+    "value_percentiles",
 )
 
 
@@ -1649,6 +1663,9 @@ _WEBTEXT_SQL = """
 #: confusing oracle mismatch in the unedited query.
 _SYNTH_URL_SQL = (
     "'https://' || CASE WHEN doc_id % 5 = 0 THEN 'ads.tracker.example'"
+    " WHEN doc_id % 17 = 3 THEN 'a.shop.example.co.uk'"
+    " WHEN doc_id % 17 = 8 THEN 'b.shop.example.co.uk'"
+    " WHEN doc_id % 17 = 12 THEN 'news.other.co.uk'"
     " ELSE 'sub' || (doc_id % 7) || '.site-' || source || '.org' END"
     " || '/page/' || doc_id"
     " || CASE WHEN doc_id % 11 = 0 THEN '/login' ELSE '' END"
@@ -1691,10 +1708,33 @@ FROM f
 """
 
 
+def _psl_domain_sql(hl: str = "hl") -> str:
+    """DuckDB twin of `with_registrable_domain`, GENERATED from the same
+    PSL_SNAPSHOT tuple (single source of truth): per-depth IN-list
+    membership → longest matching public-suffix length (default 1 — the
+    PSL default rule) → last (ps + 1) labels, clamped to the host."""
+    from rag_pdf_parser_spark.operators.urlfilter import PSL_SNAPSHOT
+
+    by_depth: dict[int, list[str]] = {}
+    for s in PSL_SNAPSHOT:
+        by_depth.setdefault(s.count(".") + 1, []).append(s)
+    cases = []
+    for j in sorted(by_depth, reverse=True):
+        vals = ", ".join(f"'{s}'" for s in sorted(by_depth[j]))
+        cases.append(
+            f"coalesce(CASE WHEN len({hl}) >= {j} AND array_to_string("
+            f"list_slice({hl}, len({hl}) - {j - 1}, len({hl})), '.') "
+            f"IN ({vals}) THEN {j} END, 0)")
+    ps = "greatest(" + ", ".join(cases) + ", 1)"
+    return (f"array_to_string(list_slice({hl}, "
+            f"greatest(len({hl}) - ({ps}), 1), len({hl})), '.')")
+
+
 def _domain_stats_sql() -> str:
     """Independent twin of q_domain_stats: url synthesis + host extraction
-    from the URL twin, last-2-label domain via list_slice, gopher_keep
-    from the webtext twin (over the NULL-coalesced shadow — domain_stats
+    from the URL twin, PSL longest-match registrable domain (generated
+    from the packaged snapshot — `_psl_domain_sql`), gopher_keep from the
+    webtext twin (over the NULL-coalesced shadow — domain_stats
     coalesces), one GROUP BY."""
 
     def _nn(sql: str) -> str:
@@ -1711,9 +1751,7 @@ hosts AS (
 ),
 doms AS (
   SELECT doc_id, url,
-         coalesce(array_to_string(
-           list_slice(hl, greatest(len(hl) - 1, 1), len(hl)), '.'),
-           '') AS domain
+         coalesce({_psl_domain_sql("hl")}, '') AS domain
   FROM (SELECT doc_id, url, string_split(host, '.') AS hl FROM hosts)
 ),
 flags AS (

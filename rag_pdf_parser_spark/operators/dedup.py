@@ -626,8 +626,8 @@ def dedup_corpus_incremental(increment: DataFrame, store_dir: str,
                              num_perm: int = 8, bands: int = 4,
                              shingle: str = "char",
                              max_bucket: int | None = 10_000,
-                             store_partitions: int | None = None
-                             ) -> DataFrame:
+                             store_partitions: int | None = None,
+                             stats: dict | None = None) -> DataFrame:
     """INCREMENTAL near-dedup (r4 verdict #4): admit a new batch against the
     accumulated canonical corpus WITHOUT re-shingling it. `dedup_corpus`
     recomputes signatures over the full corpus every run; a daily increment
@@ -664,9 +664,12 @@ def dedup_corpus_incremental(increment: DataFrame, store_dir: str,
            cross-corpus pair.
 
     The whole run holds the writer lease on the STORE's parent directory
-    (plans/lease.py — the same lock `compact_lsh_store` takes on that
-    store): two concurrent increments would each probe before the other
-    appends and both admit near-duplicates of the other's admissions.
+    (plans/lease.py — the same lock the store's maintenance job
+    `compact_batch_lsh_store` takes; the membership-only
+    `compact_lsh_store` REFUSES this id-bearing store, see
+    plans/maintenance.py): two concurrent increments would each probe
+    before the other appends and both admit near-duplicates of the
+    other's admissions.
     Co-locate `canon_dir` under the same parent so one lease covers both
     tables.
 
@@ -686,20 +689,17 @@ def dedup_corpus_incremental(increment: DataFrame, store_dir: str,
     a seen-store (the reference's persistent dedup DB has the same
     property, deduplicator.py:45-65).
 
-    Returns the ADMITTED docs (also appended to `canon_dir`).
+    Returns the ADMITTED docs (also appended to `canon_dir`). When a
+    `stats` dict is passed it is filled IN PLACE with
+    ``{"n_already_admitted": <int>}`` — the count of increment ids removed
+    by the resume anti-join, measured UNDER the writer lease against the
+    same canon snapshot the dedup reads (a caller counting it before
+    acquisition races a concurrent increment's commit and skews the split
+    between already-admitted and dedup-dropped — r5 verdict #6).
     """
     import os as _os
 
     from ..plans.lease import WriterLease
-    from ..plans.maintenance import recover_store
-    from ..streaming.minhash import (
-        STORE_PARTITIONS,
-        _resolve_store_partitions,
-        read_store_meta,
-        read_store_pruned,
-        store_partition_expr,
-        write_store_meta,
-    )
 
     spark = increment.sparkSession
     with WriterLease(_os.path.dirname(store_dir.rstrip("/")) or ".") \
@@ -707,13 +707,14 @@ def dedup_corpus_incremental(increment: DataFrame, store_dir: str,
         return _dedup_corpus_incremental_locked(
             spark, increment, store_dir, canon_dir, id_col, text_col,
             jaccard_threshold, n, num_perm, bands, shingle, max_bucket,
-            store_partitions, lease)
+            store_partitions, lease, stats)
 
 
 def _dedup_corpus_incremental_locked(spark, increment, store_dir, canon_dir,
                                      id_col, text_col, jaccard_threshold, n,
                                      num_perm, bands, shingle, max_bucket,
-                                     store_partitions, lease) -> DataFrame:
+                                     store_partitions, lease,
+                                     stats=None) -> DataFrame:
     import os as _os
 
     from ..plans.maintenance import recover_store
@@ -746,10 +747,18 @@ def _dedup_corpus_incremental_locked(spark, increment, store_dir, canon_dir,
     # canonical corpus is already admitted — anti-join it out up front.
     # This also makes batch and canonical ids provably disjoint, so the
     # only same-id candidate pairs below are orphan self-collisions.
-    if _os.path.isdir(canon_dir) and any(
-            f.endswith(".parquet") for f in _os.listdir(canon_dir)):
+    has_canon = _os.path.isdir(canon_dir) and any(
+        f.endswith(".parquet") for f in _os.listdir(canon_dir))
+    if has_canon:
         canon_ids = spark.read.parquet(canon_dir).select(id_col)
+        if stats is not None:
+            # measured here, under the lease, against the exact snapshot
+            # the anti-join reads — see the docstring's `stats` contract
+            stats["n_already_admitted"] = increment.join(
+                canon_ids, id_col, "left_semi").count()
         increment = increment.join(canon_ids, id_col, "left_anti")
+    elif stats is not None:
+        stats["n_already_admitted"] = 0
 
     batch = dedup_corpus(increment, id_col=id_col, text_col=text_col,
                          jaccard_threshold=jaccard_threshold, n=n,
@@ -765,7 +774,12 @@ def _dedup_corpus_incremental_locked(spark, increment, store_dir, canon_dir,
 
     has_store = _os.path.isdir(store_dir) and any(
         d.startswith("bp=") for d in _os.listdir(store_dir))
-    if has_store:
+    # `has_store and not has_canon` is the FIRST-EVER batch retried after a
+    # crash between the two appends: every store row is an orphan (no
+    # canonical text exists anywhere), so a collision can never verify and
+    # the probe branch would only crash on the canon_dir read
+    # (PATH_NOT_FOUND) — skip it and admit the batch (ADVICE r5).
+    if has_store and has_canon:
         # control-plane scalars: at most n_parts ints, never row data
         bps = [r["bp"] for r in buckets.select("bp").distinct().collect()]
         seen = read_store_pruned(spark, store_dir, bps)

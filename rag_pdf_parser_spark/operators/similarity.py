@@ -266,11 +266,21 @@ def write_ivf_index(corpus: DataFrame, path: str, n_lists: int = 8,
 def ivf_topk_from_index(spark, path: str, centroids: np.ndarray,
                         queries: DataFrame, k: int = 5, n_probe: int = 2,
                         id_col: str = "vec_id",
-                        vec_col: str = "embedding") -> DataFrame:
+                        vec_col: str = "embedding",
+                        max_queries: int = 4096) -> DataFrame:
     """Query the on-disk IVF index: probe-list filter → partition-pruned
-    scan (verify `PartitionFilters` in the plan) → exact cosine re-rank."""
+    scan (verify `PartitionFilters` in the plan) → exact cosine re-rank.
+    The query side is collected to rank probe lists — bounded by
+    `max_queries`, the same few-queries-vs-huge-corpus contract (and the
+    same driver-OOM guard) as `ivf_topk`."""
     corpus = spark.read.parquet(path)
-    q_rows = queries.select(id_col, vec_col).collect()
+    q_rows = queries.select(id_col, vec_col).limit(max_queries + 1).collect()
+    if len(q_rows) > max_queries:
+        raise ValueError(
+            f"ivf_topk_from_index query side exceeds "
+            f"max_queries={max_queries}; compute probe lists distributedly "
+            "for this regime"
+        )
     probe_rows = []
     for r in q_rows:
         qv = np.array(r[vec_col], dtype="float64")

@@ -42,6 +42,64 @@ DEFAULT_URL_PATTERNS = (
 #: the cap bounds the Generate fan-out per row)
 MAX_HOST_LABELS = 6
 
+#: Packaged public-suffix-list SNAPSHOT (r5 verdict #2): the multi-label
+#: entries of the publicsuffix.org ICANN section that real web corpora hit
+#: most (ccTLD second-level registries; the state-education third-level
+#: .au entries give depth-3 coverage). PLAIN rules only — the PSL's
+#: wildcard (`*.ck`) and exception (`!www.ck`) rules are out of snapshot
+#: scope; single-label TLDs need no entry because the PSL default rule
+#: (unknown TLD → the TLD itself is the public suffix) is built into the
+#: longest-match below. In production swap the full publicsuffix.org dat
+#: for this tuple — `psl_table` is the only seam.
+PSL_SNAPSHOT = (
+    # .uk
+    "co.uk", "org.uk", "me.uk", "ltd.uk", "plc.uk", "net.uk", "sch.uk",
+    "ac.uk", "gov.uk", "nhs.uk", "police.uk",
+    # .au (+ real third-level state-education registries)
+    "com.au", "net.au", "org.au", "edu.au", "gov.au", "asn.au", "id.au",
+    "act.edu.au", "nsw.edu.au", "nt.edu.au", "qld.edu.au", "sa.edu.au",
+    "tas.edu.au", "vic.edu.au", "wa.edu.au",
+    # .jp
+    "co.jp", "or.jp", "ne.jp", "ac.jp", "ad.jp", "ed.jp", "go.jp",
+    "gr.jp", "lg.jp",
+    # .nz
+    "co.nz", "net.nz", "org.nz", "govt.nz", "ac.nz", "school.nz",
+    "geek.nz", "gen.nz", "kiwi.nz", "maori.nz",
+    # .za
+    "co.za", "net.za", "org.za", "gov.za", "ac.za", "edu.za", "web.za",
+    # .br
+    "com.br", "net.br", "org.br", "gov.br", "edu.br", "art.br", "blog.br",
+    # .cn
+    "com.cn", "net.cn", "org.cn", "gov.cn", "edu.cn", "ac.cn",
+    # .in
+    "co.in", "net.in", "org.in", "firm.in", "gen.in", "ind.in", "ac.in",
+    "edu.in", "res.in", "gov.in",
+    # .kr
+    "co.kr", "or.kr", "ne.kr", "go.kr", "ac.kr", "re.kr", "pe.kr",
+    # .tw / .hk / .sg
+    "com.tw", "net.tw", "org.tw", "edu.tw", "gov.tw", "idv.tw",
+    "com.hk", "net.hk", "org.hk", "edu.hk", "gov.hk", "idv.hk",
+    "com.sg", "net.sg", "org.sg", "edu.sg", "gov.sg", "per.sg",
+    # .mx / .ar / .tr
+    "com.mx", "net.mx", "org.mx", "edu.mx", "gob.mx",
+    "com.ar", "net.ar", "org.ar", "edu.ar", "gob.ar", "int.ar",
+    "mil.ar", "tur.ar",
+    "com.tr", "net.tr", "org.tr", "edu.tr", "gov.tr", "gen.tr", "web.tr",
+    "k12.tr", "av.tr", "bel.tr", "pol.tr", "tel.tr", "tv.tr", "biz.tr",
+    "info.tr", "name.tr",
+    # .pl / .il / .th / .id / .ua
+    "com.pl", "net.pl", "org.pl", "edu.pl", "gov.pl", "info.pl", "waw.pl",
+    "co.il", "org.il", "net.il", "ac.il", "gov.il", "muni.il", "k12.il",
+    "co.th", "net.th", "org.th", "ac.th", "go.th", "in.th", "or.th",
+    "co.id", "net.id", "org.id", "ac.id", "go.id", "or.id", "sch.id",
+    "web.id", "my.id", "biz.id",
+    "com.ua", "net.ua", "org.ua", "edu.ua", "gov.ua", "in.ua",
+)
+
+#: deepest rule in the snapshot (3: the *.edu.au state registries) — the
+#: per-depth probe count below
+PSL_MAX_LABELS = max(s.count(".") + 1 for s in PSL_SNAPSHOT)
+
 
 def url_host_expr(url: Column) -> Column:
     """Lowercased host of the URL: strips scheme, userinfo, port, and any
@@ -94,10 +152,10 @@ def url_pattern_flag_expr(url: Column,
 
 def registrable_domain_expr(host: Column, labels: int = 2) -> Column:
     """Last `labels` labels of the host ('a.b.example.com' → 'example.com')
-    — the C4-style per-domain aggregation key. A public-suffix-list lookup
-    (co.uk etc.) slots in here as a broadcast join when exactness per ccTLD
-    matters; the fixed-depth cut is the standard corpus-analysis
-    approximation."""
+    — the fixed-depth approximation of the registrable domain. Every
+    `*.co.uk` site collapses into ONE 'co.uk' key under it; when per-ccTLD
+    exactness matters (any non-US corpus) use `with_registrable_domain`,
+    the public-suffix-list longest-match (r5 verdict #2)."""
     hl = F.split(host, r"\.")
     n = F.size(hl)
     return F.array_join(
@@ -105,14 +163,84 @@ def registrable_domain_expr(host: Column, labels: int = 2) -> Column:
         ".")
 
 
+def psl_table(spark) -> DataFrame:
+    """The packaged PSL snapshot as a one-column DataFrame (`suffix`) —
+    the broadcast side of `with_registrable_domain`. Swap in the full
+    publicsuffix.org list here for production exactness (~10k plain rules,
+    still kilobytes — trivially broadcastable)."""
+    return spark.createDataFrame([(s,) for s in PSL_SNAPSHOT],
+                                 "suffix string")
+
+
+def with_registrable_domain(docs: DataFrame, host_col: str,
+                            psl: DataFrame, out_col: str = "domain"
+                            ) -> DataFrame:
+    """PSL-correct registrable domain: longest public suffix matching the
+    host, plus one label ('a.example.co.uk' → 'example.co.uk', NOT
+    'co.uk'). Implemented with the URL gate's per-depth broadcast-probe
+    idiom — one broadcast of the (tiny) suffix list probed once per rule
+    depth, so the corpus never shuffles and nothing explodes:
+
+        1. stage the host's label array ONCE (CollapseProject keeps a
+           non-cheap attr referenced >1× staged — the split runs once),
+        2. for each depth j ≤ the deepest rule, left-join the last-j-label
+           suffix key against the depth-j rules,
+        3. public-suffix length = deepest j that hit, else 1 (the PSL
+           default rule: an unmatched TLD is itself the public suffix),
+        4. domain = last (ps + 1) labels — F.slice clamps, so a host that
+           IS a public suffix (or shorter) maps to itself, which keeps the
+           triage-table key total (no NULL group for 'co.uk' rows).
+
+    `psl` is normalized exactly like the blocklist side (lower/trim/
+    non-empty/distinct) so each per-depth join matches at most one rule.
+    Wildcard (`*.ck`) and exception (`!www.ck`) PSL rules are outside the
+    snapshot's plain-rule model — documented in PSL_SNAPSHOT."""
+    max_j = PSL_MAX_LABELS
+    psl_norm = psl.select(
+        F.lower(F.trim(F.col("suffix"))).alias("suffix")
+    ).where(F.length("suffix") > 0).distinct()
+    out = docs.withColumn("__pl", F.split(F.col(host_col), r"\."))
+    n = F.size("__pl")
+    hit_depths = []
+    # depth 1 is never probed: a single-label PSL rule ('com', 'uk') gives
+    # ps=1, which IS the default rule — the probe would be a no-op join
+    for j in range(2, max_j + 1):
+        marker = f"__psl{j}"
+        key = F.when(
+            n >= j,
+            F.nullif(F.array_join(F.slice(F.col("__pl"), n - j + 1, j),
+                                  "."), F.lit("")))
+        rules_j = psl_norm.where(
+            F.size(F.split("suffix", r"\.")) == j
+        ).select(F.col("suffix").alias(marker))
+        out = out.withColumn(f"__k{j}", key)
+        out = out.join(F.broadcast(rules_j),
+                       out[f"__k{j}"] == rules_j[marker], "left")
+        hit_depths.append(F.when(F.col(marker).isNotNull(), F.lit(j)))
+    ps = F.greatest(*reversed(hit_depths), F.lit(1))
+    dom = F.array_join(
+        F.slice(F.col("__pl"), F.greatest(n - ps, F.lit(1)), ps + F.lit(1)),
+        ".")
+    return out.withColumn(out_col, dom).drop(
+        "__pl", *[f"__k{j}" for j in range(2, max_j + 1)],
+        *[f"__psl{j}" for j in range(2, max_j + 1)])
+
+
 def domain_stats(docs: DataFrame, url_col: str = "url",
                  text_col: str = "text",
-                 patterns: tuple[str, ...] = DEFAULT_URL_PATTERNS
-                 ) -> DataFrame:
+                 patterns: tuple[str, ...] = DEFAULT_URL_PATTERNS,
+                 psl: DataFrame | None = None) -> DataFrame:
     """Per-domain corpus triage (the C4 §2.2 / RefinedWeb analysis table):
     one row per registrable domain with document count, total text chars,
     Gopher-keep count, and bad-URL-pattern count — the table a curation
     engineer reads to decide which domains to block next.
+
+    `psl` (see `psl_table`) switches the grouping key to the
+    public-suffix-list longest-match: without it every `*.co.uk` site
+    collapses into ONE 'co.uk' row and the triage table misattributes
+    entire ccTLD namespaces (r5 verdict #2) — pass it for any non-US
+    corpus. The PSL probes are per-depth broadcast joins (zero extra
+    corpus shuffle); the fixed 2-label cut remains the psl=None fallback.
 
     Scale shape: the gate flags are pure projections; ONE shuffle on the
     domain key (bounded cardinality ≪ corpus, partial-aggregated
@@ -126,9 +254,18 @@ def domain_stats(docs: DataFrame, url_col: str = "url",
     safe_text = F.coalesce(F.col(text_col), F.lit(""))
     pat = F.coalesce(
         url_pattern_flag_expr(F.col(url_col), patterns), F.lit(False))
-    s1 = docs.select(
-        F.coalesce(registrable_domain_expr(url_host_expr(F.col(url_col))),
-                   F.lit("")).alias("domain"),
+    base = docs
+    if psl is not None:
+        base = with_registrable_domain(
+            base.withColumn("__host", url_host_expr(F.col(url_col))),
+            "__host", psl, out_col="__dom")
+        dom = F.coalesce(F.col("__dom"), F.lit(""))
+    else:
+        dom = F.coalesce(
+            registrable_domain_expr(url_host_expr(F.col(url_col))),
+            F.lit(""))
+    s1 = base.select(
+        dom.alias("domain"),
         safe_text.alias("__t"),
         F.filter(F.split(F.trim(safe_text), r"\s+"),
                  lambda t: F.length(t) > 0).alias("__rtoks"),
@@ -181,6 +318,24 @@ def filter_urls(docs: DataFrame, blocked_hosts: DataFrame | None = None,
         blocked_norm = blocked_hosts.select(
             F.lower(F.trim(F.col("host"))).alias("host")
         ).where(F.length("host") > 0).distinct()
+        # load-time validation (r5 verdict #9): an entry DEEPER than the
+        # suffix cap is matched exactly (the full-host probe), but
+        # subdomains of it can never match — a corpus host one label
+        # deeper derives no suffix at that depth. The blocklist side is
+        # tiny (broadcast by contract), so this probe is one bounded
+        # control-plane job; warn loudly instead of silently half-matching.
+        deep = [r["host"] for r in blocked_norm.where(
+            F.size(F.split("host", r"\.")) > MAX_HOST_LABELS)
+            .limit(20).collect()]
+        if deep:
+            import warnings
+
+            warnings.warn(
+                f"blocklist entries deeper than MAX_HOST_LABELS="
+                f"{MAX_HOST_LABELS} match only EXACT hosts, never their "
+                f"subdomains (suffix chains are capped): {deep}. Raise "
+                "MAX_HOST_LABELS or shorten the entries.",
+                stacklevel=2)
         # Stage host + label array ONCE, then derive the per-depth suffix
         # key columns in a SECOND select: CollapseProject keeps a non-cheap
         # attribute referenced >1 time staged, so the split runs once per

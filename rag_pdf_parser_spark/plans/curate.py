@@ -159,30 +159,27 @@ def curate_corpus_incremental(increment: DataFrame, store_dir: str,
     gate expression — the tokenize + 9-level gram chain + quality fold —
     executes twice per row, and the dedup-side plan would also re-read
     canon_dir after this very call appends to it (the cache-invalidation
-    hazard documented in plans/pipeline.py)."""
-    import os
+    hazard documented in plans/pipeline.py).
 
+    `drop_already_admitted` is counted INSIDE dedup's writer-leased
+    section (its `stats` out-param), against the exact canon snapshot the
+    resume anti-join reads — counting it here first would race a
+    concurrent increment's commit and skew the already-admitted/dedup
+    split (r5 verdict #6; sums stayed exact, labels didn't)."""
     from ..operators.dedup import dedup_corpus_incremental
 
     flagged = flag_corpus(increment, blocked_hosts, url_col, text_col) \
         .localCheckpoint(eager=True)
     funnel = curation_funnel(flagged)
     kept = flagged.where(F.col("pass_all")).select(*increment.columns)
-    n_already = 0
-    from .maintenance import recover_store
-
-    recover_store(canon_dir)  # count against the same state dedup will see
-    if os.path.isdir(canon_dir) and any(
-            f.endswith(".parquet") for f in os.listdir(canon_dir)):
-        canon_ids = increment.sparkSession.read.parquet(canon_dir) \
-            .select(id_col)
-        n_already = kept.join(canon_ids, id_col, "left_semi").count()
+    dedup_stats: dict = {}
     admitted = dedup_corpus_incremental(
         kept, store_dir, canon_dir, id_col=id_col, text_col=text_col,
         jaccard_threshold=jaccard_threshold, n=n, num_perm=num_perm,
         bands=bands, shingle=shingle, max_bucket=max_bucket,
-        store_partitions=store_partitions)
+        store_partitions=store_partitions, stats=dedup_stats)
     n_admitted = admitted.count()
+    n_already = dedup_stats["n_already_admitted"]
     funnel["drop_already_admitted"] = n_already
     funnel["drop_dedup"] = funnel["n_pass"] - n_already - n_admitted
     funnel["n_admitted"] = n_admitted

@@ -231,13 +231,43 @@ def compact_output(spark: SparkSession, out_dir: str,
 
 
 def compact_lsh_store(spark: SparkSession, path: str) -> dict:
-    """Streaming LSH bucket store maintenance: one row per (band, bucket),
+    """STREAMING LSH bucket store maintenance: one row per (band, bucket),
     bp partition layout preserved for micro-batch pruning. The store's
     _STORE_META.json (the persisted bp modulus — streaming/minhash.py)
     rides the atomic swap via `preserve_files` — bp values are preserved
     verbatim, so the modulus they were computed with must be too, through
-    every crash point."""
+    every crash point.
+
+    REFUSES id-bearing stores (the batch-incremental index,
+    operators/dedup.py dedup_corpus_incremental): its rows carry an OWNER
+    id, and two canonical docs legitimately share a bucket below the
+    Jaccard threshold — deduping by (band, bucket) would keep one
+    arbitrary owner, and every future near-dup of the dropped owner would
+    probe, miss, and be admitted forever (silent loss, r5 verdict #1).
+    Use `compact_batch_lsh_store` for that store."""
     from ..streaming.minhash import _META_NAME
 
+    recover_store(path)
+    if "id" in spark.read.parquet(path).schema.fieldNames():
+        raise ValueError(
+            f"LSH store at {path} carries an owner `id` column — this is "
+            "the batch-incremental index, and collapsing it to one row per "
+            "(band, bucket) would drop legitimate co-bucketed owners and "
+            "silently re-admit their future near-duplicates. Run "
+            "compact_batch_lsh_store instead.")
     return compact_table(spark, path, ["band", "bucket"],
+                         partition_by=["bp"], preserve_files=[_META_NAME])
+
+
+def compact_batch_lsh_store(spark: SparkSession, path: str) -> dict:
+    """BATCH-incremental LSH index maintenance (the id-bearing store
+    `dedup_corpus_incremental` appends to): one row per (band, bucket, id)
+    — the owner id is part of the identity, so co-bucketed canonical owners
+    all survive and keep rejecting their future near-dups. bp layout and
+    _STORE_META.json (bp modulus + signature config) ride the swap exactly
+    as in `compact_lsh_store`. What gets reclaimed: duplicate rows from
+    crashed-and-retried appends, and the per-increment small files."""
+    from ..streaming.minhash import _META_NAME
+
+    return compact_table(spark, path, ["band", "bucket", "id"],
                          partition_by=["bp"], preserve_files=[_META_NAME])

@@ -213,6 +213,12 @@ def main() -> None:
     sections.append((
         "URL/domain gate (per-depth broadcast probes; zero corpus shuffle)",
         plan_of(uf), ["BroadcastHashJoin"],
+        "Note (r6): blocklist entries DEEPER than `MAX_HOST_LABELS` (6) "
+        "match only their exact host — the full-host probe covers them — "
+        "but never their subdomains (a deeper corpus host derives no "
+        "suffix at that depth). `filter_urls` warns loudly at load time "
+        "when such entries are present; raise `MAX_HOST_LABELS` or "
+        "shorten the entries to lift the limitation.",
     ))
 
     # composed curation funnel (r5): ONE tokenization + ONE gram chain
@@ -232,19 +238,26 @@ def main() -> None:
         plan_of(fn), ["HashAggregate"],
     ))
 
-    # per-domain triage: pure-projection flags + ONE bounded-key shuffle
-    # (partial agg map-side), no join, no Generate
+    # per-domain triage: pure-projection flags + per-depth PSL broadcast
+    # probes (r6 — registrable domains are PSL longest-match now) + ONE
+    # bounded-key CORPUS shuffle (partial agg map-side), no Generate. The
+    # only other exchanges permitted are on the tiny PSL build side
+    # (suffix normalization distinct), never the corpus.
     ds = E.q_domain_stats(spark, SF)
     ds_exec = ds._jdf.queryExecution().executedPlan().toString()
-    assert ds_exec.count("Exchange hashpartitioning") == 1, \
-        "domain stats must shuffle exactly once (on the domain key)"
-    assert "Generate" not in ds_exec and "Join" not in ds_exec, \
-        "domain stats must be projection + aggregate only"
-    assert ds_exec.count("HashAggregate") == 2, \
-        "domain stats must partial-aggregate map-side"
+    corpus_ex = [ln for ln in ds_exec.splitlines()
+                 if "Exchange hashpartitioning" in ln
+                 and "suffix#" not in ln]
+    assert len(corpus_ex) == 1, \
+        f"domain stats must shuffle the corpus exactly once (domain key); " \
+        f"saw {corpus_ex}"
+    assert "Generate" not in ds_exec, "domain stats must not explode"
+    assert "BroadcastNestedLoopJoin" not in ds_exec
+    assert ds_exec.count("BroadcastHashJoin") == 2, \
+        "PSL probes must be one broadcast join per rule depth (2, 3)"
     sections.append((
-        "per-domain corpus triage (one bounded-key shuffle)",
-        plan_of(ds), ["HashAggregate"],
+        "per-domain corpus triage (PSL probes + one bounded-key shuffle)",
+        plan_of(ds), ["HashAggregate", "BroadcastHashJoin"],
     ))
 
     # simhash banded pairs: hash/merge equi-join on (band, chunk), no BNLJ
@@ -259,7 +272,9 @@ def main() -> None:
 
     out = ["# PLANS — physical-plan audit (generated by scripts/explain_audit.py)\n"]
     failures = []
-    for title, plan, expects in sections:
+    for section in sections:
+        title, plan, expects = section[:3]
+        note = section[3] if len(section) > 3 else None
         marks = []
         for e in expects:
             ok = e in plan
@@ -267,6 +282,7 @@ def main() -> None:
             if not ok:
                 failures.append((title, e))
         out.append(f"## {title}\n\nChecks:\n" + "\n".join(marks)
+                   + (f"\n\n{note}" if note else "")
                    + "\n\n```\n" + plan.strip() + "\n```\n")
     with open(os.path.join(os.path.dirname(os.path.dirname(
             os.path.abspath(__file__))), "PLANS.md"), "w") as f:

@@ -975,3 +975,264 @@ def test_minhash_word_signature_properties(spark):
     plan = minhash_signature(docs, num_perm=4, n=5, shingle="word") \
         ._jdf.queryExecution().optimizedPlan().toString()
     assert plan.count("zip_with") <= 4, plan.count("zip_with")
+
+
+def test_incremental_first_batch_crash_retry(spark, tmp_path):
+    """ADVICE r5 (medium): the FIRST-ever batch crashed between the bucket
+    append and the canon append — the store has bp= partitions but
+    canon_dir does not exist. The retry must not dead-end on the canon
+    read (PATH_NOT_FOUND): all store rows are orphans whose collisions are
+    inert, so the probe branch is skipped and the batch admitted once."""
+    import os
+
+    from rag_pdf_parser_spark.operators.dedup import (
+        dedup_corpus_incremental,
+        lsh_buckets,
+    )
+    from rag_pdf_parser_spark.streaming.minhash import (
+        STORE_PARTITIONS,
+        store_partition_expr,
+        write_store_meta,
+    )
+
+    store = str(tmp_path / "idx")
+    canon = str(tmp_path / "canon")
+    first = spark.createDataFrame(
+        [("a0", "a first ever batch document with plenty of words about "
+                "turbines and impellers spinning in laminar flow"),
+         ("a1", "another unrelated first batch text holding entirely "
+                "distinct vocabulary tokens across the board")],
+        "doc_id string, text string")
+    # simulate the crash window: buckets written (the crash-safe FIRST
+    # append), canon never created
+    write_store_meta(store, STORE_PARTITIONS,
+                     extra={"lsh_n": 5, "lsh_num_perm": 8, "lsh_bands": 4,
+                            "lsh_shingle": "char"})
+    (lsh_buckets(first, "doc_id", "text")
+     .withColumn("bp", store_partition_expr(F.col("band"), F.col("bucket"),
+                                            STORE_PARTITIONS))
+     .select("band", "bucket", "id", "bp")
+     .write.mode("append").partitionBy("bp").parquet(store))
+    assert not os.path.exists(canon)
+
+    stats: dict = {}
+    adm = sorted(r["doc_id"] for r in dedup_corpus_incremental(
+        first, store, canon, stats=stats).collect())
+    assert adm == ["a0", "a1"], adm
+    assert stats == {"n_already_admitted": 0}
+    got = spark.read.parquet(canon)
+    assert got.count() == 2 == got.select("doc_id").distinct().count()
+    # and the completed retry is still a no-op (resume anti-join)
+    assert dedup_corpus_incremental(first, store, canon).count() == 0
+
+
+def test_compact_batch_lsh_store_preserves_owners(spark, tmp_path):
+    """r5 verdict #1: two canonical docs legitimately share a bucket below
+    the Jaccard threshold. The membership-only `compact_lsh_store` must
+    REFUSE the id-bearing store (collapsing to one arbitrary owner would
+    silently re-admit the dropped owner's future near-dups forever);
+    `compact_batch_lsh_store` keeps one row per (band, bucket, id) — after
+    it runs, a fresh near-dup of EACH owner is still rejected."""
+    from rag_pdf_parser_spark.operators.dedup import dedup_corpus_incremental
+    from rag_pdf_parser_spark.plans.maintenance import (
+        compact_batch_lsh_store,
+        compact_lsh_store,
+    )
+    from rag_pdf_parser_spark.streaming.minhash import read_store_meta
+
+    common = " ".join(f"shared{i} token{i}" for i in range(30))
+    t1 = common + " " + " ".join(f"alpha{i} beta{i}" for i in range(25))
+    t2 = common + " " + " ".join(f"gamma{i} delta{i}" for i in range(25))
+    store = str(tmp_path / "idx")
+    canon = str(tmp_path / "canon")
+    A = spark.createDataFrame([("x1", t1), ("x2", t2)],
+                              "doc_id string, text string")
+    adm = sorted(r["doc_id"] for r in
+                 dedup_corpus_incremental(A, store, canon).collect())
+    assert adm == ["x1", "x2"]  # similar but below threshold: both admitted
+
+    # precondition of the hazard: the two owners REALLY share a bucket
+    idx = spark.read.parquet(store)
+    shared = (idx.alias("a").join(idx.alias("b"), ["band", "bucket"])
+              .where(F.col("a.id") < F.col("b.id")).count())
+    assert shared >= 1, "crafted docs no longer co-bucket; adjust texts"
+
+    with pytest.raises(ValueError, match="owner.*id"):
+        compact_lsh_store(spark, store)
+
+    # grow some genuine append duplication (a crashed retry re-appending
+    # the same bucket rows), then compact with the id-preserving job
+    idx_rows = spark.read.parquet(store).localCheckpoint(eager=True)
+    idx_rows.write.mode("append").partitionBy("bp").parquet(store)
+    before_meta = read_store_meta(store)
+    res = compact_batch_lsh_store(spark, store)
+    assert res["rows_after"] < res["rows_before"]
+    assert read_store_meta(store) == before_meta  # meta rode the swap
+    after = spark.read.parquet(store)
+    assert after.count() == after.select("band", "bucket", "id") \
+        .distinct().count()
+    assert after.select("id").distinct().count() == 2  # BOTH owners kept
+
+    # a near-dup of EACH owner is still rejected post-compaction
+    B = spark.createDataFrame(
+        [("y1", t1.replace("alpha3", "other3")),
+         ("y2", t2.replace("gamma3", "newly3"))],
+        "doc_id string, text string")
+    assert dedup_corpus_incremental(B, store, canon).count() == 0
+    assert sorted(r["doc_id"] for r in
+                  spark.read.parquet(canon).collect()) == ["x1", "x2"]
+
+
+def test_incremental_funnel_labels_under_lease(spark, tmp_path, monkeypatch):
+    """r5 verdict #6: a concurrent increment committing between the
+    caller's funnel computation and the dedup lease acquisition must land
+    in `drop_already_admitted`, not `drop_dedup` — the count now runs
+    INSIDE dedup's leased section against the same canon snapshot the
+    resume anti-join reads. Simulated by hooking the lease: the rival's
+    canon commit happens just before acquisition succeeds."""
+    import random
+
+    from rag_pdf_parser_spark.kernel.twins import quality_model_score
+    from rag_pdf_parser_spark.plans.curate import curate_corpus_incremental
+    from rag_pdf_parser_spark.plans.lease import WriterLease
+
+    def good(seed):
+        rng = random.Random(seed)
+        words = [f"{'abcdefghijklmnop'[rng.randrange(16)]}word{i}"
+                 for i in range(70)]
+        return " ".join(words) + "."
+
+    g1, g2 = good(4), good(5)
+    assert all(quality_model_score(t) > 0 for t in (g1, g2))
+    store = str(tmp_path / "idx")
+    canon = str(tmp_path / "canon")
+    rival = spark.createDataFrame([("r0", "https://ok.example/r", g1)],
+                                  "doc_id string, url string, text string")
+
+    fired = []
+    orig_acquire = WriterLease.acquire
+
+    def hooked(self):
+        if not fired:
+            fired.append(True)
+            rival.write.mode("append").parquet(canon)
+        return orig_acquire(self)
+
+    monkeypatch.setattr(WriterLease, "acquire", hooked)
+    batch = spark.createDataFrame(
+        [("r0", "https://ok.example/r", g1),   # = the rival's commit
+         ("b1", "https://ok.example/b", g2)],
+        "doc_id string, url string, text string")
+    adm, funnel = curate_corpus_incremental(batch, store, canon)
+    assert fired, "lease hook never ran"
+    assert funnel["drop_already_admitted"] == 1, funnel
+    assert funnel["drop_dedup"] == 0, funnel
+    assert funnel["n_admitted"] == 1
+    assert [r["doc_id"] for r in adm.collect()] == ["b1"]
+    drops = (funnel["drop_url"] + funnel["drop_gopher"]
+             + funnel["drop_repetition"] + funnel["drop_model"]
+             + funnel["drop_already_admitted"] + funnel["drop_dedup"])
+    assert funnel["n_input"] == drops + funnel["n_admitted"], funnel
+
+
+def test_ivf_from_index_bounds_query_collect(spark, tmp_path):
+    """r5 verdict #4: `ivf_topk_from_index` shares `ivf_topk`'s
+    max_queries contract — exceeding the bound raises the documented
+    ValueError instead of collecting an unbounded query side."""
+    from rag_pdf_parser_spark.operators.similarity import (
+        ivf_topk_from_index,
+        write_ivf_index,
+    )
+
+    rng = np.random.default_rng(7)
+    rows = [(i, [float(x) for x in rng.normal(size=8)]) for i in range(64)]
+    corpus = spark.createDataFrame(rows,
+                                   "vec_id long, embedding array<double>")
+    path = str(tmp_path / "ivf")
+    cents = write_ivf_index(corpus, path, n_lists=4, sample_n=64)
+    queries = corpus.where(F.col("vec_id") < 3)
+    with pytest.raises(ValueError, match="max_queries"):
+        ivf_topk_from_index(spark, path, cents, queries, max_queries=2)
+    # within the bound the pruned query path still works
+    assert ivf_topk_from_index(spark, path, cents, queries, k=3,
+                               max_queries=3).count() == 9
+
+
+def test_psl_registrable_domain(spark):
+    """r5 verdict #2: PSL longest-match registrable domains — ccTLD
+    subdomains group under their registrable domain instead of collapsing
+    into one 'co.uk' row; the PSL default rule handles unknown TLDs; a
+    host that IS a public suffix (or shorter) maps to itself; depth-3
+    rules (nsw.edu.au) match."""
+    from rag_pdf_parser_spark.operators.urlfilter import (
+        domain_stats,
+        psl_table,
+        registrable_domain_expr,
+        with_registrable_domain,
+    )
+
+    rows = [("a.shop.example.co.uk",), ("b.example.co.uk",),
+            ("other.co.uk",), ("co.uk",), ("x.nsw.edu.au",),
+            ("deep.a.b.example.com",), ("localhost",), ("",), (None,)]
+    df = spark.createDataFrame(rows, "host string")
+    got = {r["host"]: r["domain"]
+           for r in with_registrable_domain(df, "host",
+                                            psl_table(spark)).collect()}
+    assert got["a.shop.example.co.uk"] == "example.co.uk"
+    assert got["b.example.co.uk"] == "example.co.uk"
+    assert got["other.co.uk"] == "other.co.uk"
+    assert got["co.uk"] == "co.uk"            # is itself a public suffix
+    assert got["x.nsw.edu.au"] == "x.nsw.edu.au"  # depth-3 rule + 1 label
+    assert got["deep.a.b.example.com"] == "example.com"  # default rule
+    assert got["localhost"] == "localhost"
+    assert got[""] == "" and got[None] is None
+    # the fixed cut misattributes exactly the rows PSL fixes
+    fixed = {r["host"]: r["d2"] for r in df.select(
+        "host", registrable_domain_expr(F.col("host")).alias("d2")
+    ).collect()}
+    assert fixed["a.shop.example.co.uk"] == "co.uk"  # the r5 hazard
+
+    # end to end through domain_stats(psl=): the verdict's grouping proof
+    long_good = " ".join(f"w{i}x" for i in range(60)) + "."
+    docs = spark.createDataFrame(
+        [(1, "https://a.shop.example.co.uk/x", long_good),
+         (2, "https://b.shop.example.co.uk/y", long_good),
+         (3, "https://news.other.co.uk/z", long_good)],
+        "doc_id long, url string, text string")
+    stats = {r["domain"]: r["n_docs"] for r in domain_stats(
+        docs, psl=psl_table(spark)).collect()}
+    assert stats == {"example.co.uk": 2, "other.co.uk": 1}, stats
+    no_psl = {r["domain"]: r["n_docs"]
+              for r in domain_stats(docs).collect()}
+    assert no_psl == {"co.uk": 3}  # the misattribution the PSL removes
+
+
+def test_blocklist_depth_warning(spark):
+    """r5 verdict #9: a blocklist entry DEEPER than MAX_HOST_LABELS can
+    only match exactly (the full-host probe), never its subdomains — the
+    gate warns loudly at load time instead of silently half-matching."""
+    import warnings
+
+    from rag_pdf_parser_spark.operators.urlfilter import (
+        MAX_HOST_LABELS,
+        filter_urls,
+    )
+
+    deep = ".".join(["x"] * (MAX_HOST_LABELS + 1))
+    docs = spark.createDataFrame(
+        [(1, f"https://{deep}/p"), (2, f"https://sub.{deep}/p")],
+        "doc_id long, url string")
+    blocked = spark.createDataFrame([(deep,), ("ok.example",)],
+                                    "host string")
+    with pytest.warns(UserWarning, match="never their subdomains"):
+        out = filter_urls(docs, blocked).collect()
+    by_id = {r["doc_id"]: r["url_blocked"] for r in out}
+    assert by_id[1] is True    # exact match still works (full-host probe)
+    assert by_id[2] is False   # the documented limitation the warning names
+    # a within-cap blocklist stays silent (recording, not erroring — an
+    # unrelated ResourceWarning from a GC'd py4j socket must not flake this)
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        filter_urls(docs, spark.createDataFrame([("ok.example",)],
+                                                "host string")).collect()
+    assert not [w for w in caught if "subdomains" in str(w.message)]
