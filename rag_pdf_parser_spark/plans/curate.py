@@ -39,30 +39,25 @@ from ..operators.dedup import dedup_corpus
 from ..operators.urlfilter import filter_urls
 
 
-def flag_corpus(docs: DataFrame, blocked_hosts: DataFrame | None = None,
-                url_col: str = "url", text_col: str = "text") -> DataFrame:
-    """docs + the four gate flags (url_ok, gopher_keep, repetition_keep,
-    model_keep) + pass_all. Nothing is dropped — the auditable form (a
-    manifest can record WHY each doc would fall); `curate_corpus` applies
-    the drops."""
-    out = docs
-    if url_col in docs.columns:
-        out = filter_urls(out, blocked_hosts, url_col=url_col) \
-            .withColumn("url_ok", ~F.col("url_blocked")) \
-            .drop("url_blocked", "block_reason")
-    else:
-        out = out.withColumn("url_ok", F.lit(True))
-    orig = list(out.columns)
-    # NULL text behaves as empty here like in every other gate — a NULL
-    # gopher_keep would poison pass_all to NULL (doc vanishes from every
-    # funnel bucket and from both curate branches)
+def with_text_gate_flags(docs: DataFrame,
+                         text_col: str = "text") -> DataFrame:
+    """docs + the THREE text-gate flag families (gopher_keep, the 12
+    repetition stat columns + repetition_keep, score_lin/quality_p/
+    model_keep) in one tokenize-once projection pass — the shared core of
+    `flag_corpus` and the pipeline's `curate=` stage (r5 verdict #3).
+
+    NULL text behaves as empty like in every other gate — a NULL
+    gopher_keep would poison any pass-all conjunction to NULL (the doc
+    would vanish from every funnel bucket and both curate branches).
+
+    ONE tokenization for all three gates: raw-case tokens (gopher's
+    alpha/word stats), their lowercase transform (== word_tokens_expr of
+    the same text — lower() never creates or destroys ASCII whitespace),
+    and the staged gram chain (__g2 feeds gopher's bigram stat AND the
+    quality model's features; __g2..__g10 feed the repetition family)."""
+    orig = list(docs.columns)
     safe = F.coalesce(F.col(text_col), F.lit(""))
-    # ONE tokenization for all three text gates: raw-case tokens (gopher's
-    # alpha/word stats), their lowercase transform (== word_tokens_expr of
-    # the same text — lower() never creates or destroys ASCII whitespace),
-    # and the staged gram chain (__g2 feeds gopher's bigram stat AND the
-    # quality model's features; __g2..__g10 feed the repetition family).
-    out = out.withColumn(
+    out = docs.withColumn(
         "__rtoks", F.filter(F.split(F.trim(safe), r"\s+"),
                             lambda t: F.length(t) > 0))
     out = out.withColumn("__toks", F.transform(F.col("__rtoks"), F.lower))
@@ -77,11 +72,46 @@ def flag_corpus(docs: DataFrame, blocked_hosts: DataFrame | None = None,
         *[c.alias(k) for k, c in repetition_stat_cols().items()],
         "score_lin", "quality_p", "model_keep",
     )
-    out = out.withColumn("repetition_keep", repetition_keep_expr())
+    return out.withColumn("repetition_keep", repetition_keep_expr())
+
+
+def flag_corpus(docs: DataFrame, blocked_hosts: DataFrame | None = None,
+                url_col: str = "url", text_col: str = "text") -> DataFrame:
+    """docs + the four gate flags (url_ok, gopher_keep, repetition_keep,
+    model_keep) + pass_all. Nothing is dropped — the auditable form (a
+    manifest can record WHY each doc would fall); `curate_corpus` applies
+    the drops."""
+    out = docs
+    if url_col in docs.columns:
+        out = filter_urls(out, blocked_hosts, url_col=url_col) \
+            .withColumn("url_ok", ~F.col("url_blocked")) \
+            .drop("url_blocked", "block_reason")
+    else:
+        out = out.withColumn("url_ok", F.lit(True))
+    out = with_text_gate_flags(out, text_col)
     return out.withColumn(
         "pass_all",
         F.col("url_ok") & F.col("gopher_keep") & F.col("repetition_keep")
         & F.col("model_keep"),
+    )
+
+
+#: manifest failure codes of the pipeline's `curate=` stage, in gate order
+TEXT_GATE_CODES = ("GOPHER_DROP", "REPETITION_DROP", "MODEL_DROP")
+
+
+def text_gate_code_expr() -> F.Column:
+    """Sequential gate failure code from the `with_text_gate_flags`
+    ATTRIBUTES: the FIRST failing gate names the drop (a doc failing
+    gopher is GOPHER_DROP even if it would also fail the model — the same
+    sequential-funnel discipline as `curation_funnel_df`), NULL = passed
+    all three. Manifest-ready: mirrors the reference's per-doc
+    failure-code tracking (persistent.py:369-406) for the curation
+    stage."""
+    return (
+        F.when(~F.col("gopher_keep"), F.lit("GOPHER_DROP"))
+        .when(~F.col("repetition_keep"), F.lit("REPETITION_DROP"))
+        .when(~F.col("model_keep"), F.lit("MODEL_DROP"))
     )
 
 

@@ -101,7 +101,8 @@ class ExtractionPipeline:
     def run(self, pages: DataFrame, run_id: str = "run0",
             with_chunks: bool = True, fmt: str = "parquet",
             dedupe: bool = False,
-            url_blocklist: DataFrame | None = None) -> dict:
+            url_blocklist: DataFrame | None = None,
+            curate: bool = False) -> dict:
         """`fmt='json'` mirrors the reference's JSONL sinks (K2/K3,
         writer.py:110-165) — same rows, line-delimited; parquet is the
         scale default (columnar, prunable).
@@ -121,6 +122,18 @@ class ExtractionPipeline:
         manifest as failure_code='URL_BLOCKED', so resume skips them
         forever and the expensive kernel pays nothing for them.
 
+        `curate=True` wires the THREE text-quality gates (Gopher word
+        stats, the Gopher repetition family, the hashed quality model —
+        plans/curate.py) into the run, AFTER extraction and BEFORE the
+        dedup gate (the `curate_corpus` funnel order): a doc failing a
+        gate is not written to the content sinks but IS recorded in the
+        manifest with the FIRST failing gate's code (GOPHER_DROP /
+        REPETITION_DROP / MODEL_DROP — sequential, same discipline as
+        `curation_funnel_df`), so resume never re-extracts or re-gates it
+        and `manifest_summary` yields the per-gate funnel. All three flags
+        are computed in the one tokenize-once projection pass over the
+        freshly-extracted batch — zero extra scans or shuffles.
+
         SINGLE WRITER, enforced: the whole run holds the out_dir writer
         lease (plans/lease.py — atomic mkdir, stale-age takeover after
         `lease_stale_sec`, owner re-validated at the commit point). A
@@ -131,7 +144,7 @@ class ExtractionPipeline:
 
         with WriterLease(self.out_dir, self.lease_stale_sec) as lease:
             return self._run(pages, run_id, with_chunks, fmt, dedupe,
-                             url_blocklist, lease)
+                             url_blocklist, lease, curate)
 
     # -- commit protocol -------------------------------------------------------
     def committed_batch_ids(self) -> list[str]:
@@ -223,7 +236,7 @@ class ExtractionPipeline:
     def _run(self, pages: DataFrame, run_id: str,
              with_chunks: bool, fmt: str, dedupe: bool = False,
              url_blocklist: DataFrame | None = None,
-             lease=None) -> dict:
+             lease=None, curate: bool = False) -> dict:
         todo = self.pending(pages)
         batch_id = f"{run_id}-{uuid.uuid4().hex[:12]}"
         if dedupe:
@@ -264,6 +277,13 @@ class ExtractionPipeline:
         # AFTER the salted repartition inside extract_docs_full, so each row
         # records the partition that actually did the work.
         docs_m = docs.withColumn("partition_id", F.spark_partition_id())
+        if curate:
+            # gates BEFORE the dedup marking — the curate_corpus funnel
+            # order (dedup applies only to gate survivors, and a gated
+            # doc's hash must not be registered or own a winner slot)
+            docs_m = self._mark_curation(docs_m)
+        else:
+            docs_m = docs_m.withColumn("__gate", F.lit(None).cast("string"))
         if dedupe:
             docs_m = self._mark_duplicates(docs_m, run_id)
         else:
@@ -276,7 +296,8 @@ class ExtractionPipeline:
         # the batch immutably before any sink write.
         docs_m = docs_m.localCheckpoint(eager=True)
         n_docs = docs_m.count()
-        fresh = docs_m.where(~F.col("__dup")).drop("__dup") \
+        fresh = docs_m.where(~F.col("__dup") & F.col("__gate").isNull()) \
+            .drop("__dup", "__gate") \
             .withColumn("batch_id", F.lit(batch_id))
 
         # content sinks: UNCOMMITTED until _commit below (batch_id partition
@@ -302,9 +323,13 @@ class ExtractionPipeline:
             F.col("url"),
             F.col("bytes_in"),
             F.length(F.coalesce("extracted_text", F.lit(""))).cast("long").alias("bytes_out"),
-            F.when(F.col("__dup"),
-                   F.coalesce("failure_code", F.lit("DUPLICATE")))
-            .otherwise(F.col("failure_code")).alias("failure_code"),
+            # precedence: extraction failure > curation gate > duplicate
+            # (non-curate runs have __gate ≡ NULL — identical to the old
+            # when(__dup, coalesce(fc, DUPLICATE)).otherwise(fc) form)
+            F.coalesce(
+                F.col("failure_code"), F.col("__gate"),
+                F.when(F.col("__dup"), F.lit("DUPLICATE")),
+            ).alias("failure_code"),
         )
         if blocked_manifest is not None:
             manifest = manifest.unionByName(blocked_manifest)
@@ -325,7 +350,8 @@ class ExtractionPipeline:
             register_hashes(
                 self.seen_path,
                 docs_m.where(
-                    ~F.col("__dup") & F.col("failure_code").isNull()
+                    ~F.col("__dup") & F.col("__gate").isNull()
+                    & F.col("failure_code").isNull()
                     & (F.length(F.coalesce("extracted_text", F.lit(""))) > 0)
                 ).select(
                     normalized_text_hash_expr(F.col("extracted_text"))
@@ -335,12 +361,40 @@ class ExtractionPipeline:
                 ),
             )
         n_dups = docs_m.where(F.col("__dup")).count() if dedupe else 0
+        gate_drops = {}
+        if curate:
+            # ≤3 rows (one per gate code) — control-plane scalars; the
+            # full per-(run, partition) funnel comes from manifest_summary
+            gate_drops = {
+                r["__gate"]: r["n"]
+                for r in docs_m.where(F.col("__gate").isNotNull())
+                .groupBy("__gate").agg(F.count("*").alias("n")).collect()
+            }
         return {"run_id": run_id, "docs_processed": n_docs,
-                "duplicates_skipped": n_dups, "urls_blocked": n_blocked}
+                "duplicates_skipped": n_dups, "urls_blocked": n_blocked,
+                "curation_drops": gate_drops}
 
     @property
     def seen_path(self) -> str:
         return os.path.join(self.out_dir, "seen_hashes")
+
+    def _mark_curation(self, docs_m: DataFrame) -> DataFrame:
+        """Add `__gate`: the first failing text-quality gate's manifest
+        code (GOPHER_DROP / REPETITION_DROP / MODEL_DROP), NULL when all
+        three pass — the reference's doc_status failure tracking
+        (persistent.py:369-406) extended to the curation stage. Docs with
+        an extraction failure_code are not gate-coded (a parse failure is
+        not a quality judgment; precedence is enforced again in the
+        manifest coalesce). Flags come from the same tokenize-once
+        projection pass `flag_corpus` uses (`with_text_gate_flags`) —
+        zero extra scans, zero shuffles, and bit-identity with the
+        standalone gates is already pinned by the curate tests."""
+        from .curate import text_gate_code_expr, with_text_gate_flags
+
+        orig = list(docs_m.columns)
+        flagged = with_text_gate_flags(docs_m, "extracted_text")
+        gate = F.when(F.col("failure_code").isNull(), text_gate_code_expr())
+        return flagged.withColumn("__gate", gate).select(*orig, "__gate")
 
     def _mark_duplicates(self, docs_m: DataFrame, run_id: str) -> DataFrame:
         """Add `__dup`: true when the doc's normalized-text hash is in the
@@ -351,10 +405,15 @@ class ExtractionPipeline:
         otherwise collapse into one 'duplicate' class (and poison the seen
         store with hash('') forever); a parse failure is not a content
         duplicate. Their hash is null → excluded from winners, the seen
-        join, and registration."""
+        join, and registration. Curation-gated docs (`__gate` non-null)
+        are excluded for the published-winner invariant: a gated doc is
+        never written, so letting it own a hash's winner slot would mark
+        its duplicates DUPLICATE while NO copy reaches the sinks — silent
+        loss of the content."""
         from ..functions import normalized_text_hash_expr
 
         gate_ok = (F.col("failure_code").isNull()
+                   & F.col("__gate").isNull()
                    & (F.length(F.coalesce("extracted_text", F.lit(""))) > 0))
         h = F.when(gate_ok,
                    normalized_text_hash_expr(F.col("extracted_text")))

@@ -37,6 +37,9 @@ def main() -> None:
     ap.add_argument("--blocklist", default=None,
                     help="parquet/csv of blocked hosts (column `host`) — "
                          "switches on the pre-extraction URL gate")
+    ap.add_argument("--curate", action="store_true",
+                    help="post-extraction text-quality gates (gopher/"
+                         "repetition/model) with per-gate manifest codes")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -68,7 +71,8 @@ def main() -> None:
     t0 = time.time()
     result = pipe.run(pages, run_id=args.run_id,
                       with_chunks=not args.no_chunks, fmt=args.format,
-                      dedupe=args.dedupe, url_blocklist=blocklist)
+                      dedupe=args.dedupe, url_blocklist=blocklist,
+                      curate=args.curate)
     result["wall_sec"] = round(time.time() - t0, 2)
     summary = pipe.manifest_summary().collect()
     result["partitions"] = len([r for r in summary if r["run_id"] == args.run_id])
