@@ -308,7 +308,6 @@ def run_bench(only_group: str | None = None) -> dict:
                   lambda: dedup_corpus(A.unionByName(B)).count())
         base = tempfile.mkdtemp(prefix="bench_inc_")
         try:
-            pristine = {}
             for key, grow in (("incremental_admit", False),
                               ("incremental_admit_2x", True)):
                 if not want(key):
@@ -328,7 +327,6 @@ def run_bench(only_group: str | None = None) -> dict:
                     dedup_corpus_incremental(
                         extra, os.path.join(pris, "idx"),
                         os.path.join(pris, "canon"))
-                pristine[key] = pris
 
                 def run_once(p=pris):
                     work = os.path.join(base, f"w{uuid.uuid4().hex[:8]}")

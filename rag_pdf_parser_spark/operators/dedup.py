@@ -778,7 +778,29 @@ def _dedup_corpus_incremental_locked(spark, increment, store_dir, canon_dir,
     # crash between the two appends: every store row is an orphan (no
     # canonical text exists anywhere), so a collision can never verify and
     # the probe branch would only crash on the canon_dir read
-    # (PATH_NOT_FOUND) — skip it and admit the batch (ADVICE r5).
+    # (PATH_NOT_FOUND) — skip it and admit the batch (ADVICE r5). But the
+    # same state also describes a LOST or mispointed canon table (review
+    # finding: silently admitting every near-dup of a mature store would
+    # be far worse than the crash the guard removes), so the orphan
+    # hypothesis is VERIFIED first: in the crash window every store row's
+    # owner id comes from this very increment. Any foreign id ⇒ refuse
+    # loudly. The check reads the store once — in the genuine crash state
+    # that store is one batch's worth of rows.
+    if has_store and not has_canon:
+        foreign = (
+            spark.read.parquet(store_dir).select("id")
+            .join(increment.select(F.col(id_col).alias("id")),
+                  "id", "left_anti")
+            .limit(1).count())
+        if foreign:
+            raise ValueError(
+                f"LSH store at {store_dir} carries owner ids that are not "
+                f"in this increment, but canon_dir {canon_dir} has no "
+                "data — the store references canonical documents that do "
+                "not exist (lost or mispointed canon table?). Refusing to "
+                "probe-skip: that would silently admit every near-"
+                "duplicate of the indexed corpus. Restore canon_dir or "
+                "rebuild the store.")
     if has_store and has_canon:
         # control-plane scalars: at most n_parts ints, never row data
         bps = [r["bp"] for r in buckets.select("bp").distinct().collect()]

@@ -141,6 +141,52 @@ def host_suffixes_expr(host: Column,
                     lambda s: s.isNotNull() & (F.length(s) > 0))
 
 
+def _normalize_entries(entries: DataFrame, col: str) -> DataFrame:
+    """lower/trim/non-empty/distinct normalization of a broadcast-side
+    entry table (blocklist hosts, PSL suffixes): real files carry mixed
+    case, stray whitespace, and blank lines; the probe keys are lowercase
+    and never empty; distinct() guarantees each per-depth left join
+    matches at most one row (no fan-out). One home for both probe idioms
+    so an entry-hygiene fix can never miss one of them."""
+    return entries.select(
+        F.lower(F.trim(F.col(col))).alias(col)
+    ).where(F.length(col) > 0).distinct()
+
+
+def _suffix_key_expr(labels: Column, n: Column, j: int) -> Column:
+    """Last-j-labels suffix key over a staged label array: NULL when the
+    host has fewer than j labels (never equi-matches); nullif('') keeps an
+    empty host from matching even if a blank entry survived normalization.
+    Shared by the blocklist gate and the PSL probes."""
+    return F.when(
+        n >= j,
+        F.nullif(F.array_join(F.slice(labels, n - j + 1, j), "."),
+                 F.lit("")))
+
+
+def validate_blocklist(blocked_hosts: DataFrame,
+                       max_labels: int = MAX_HOST_LABELS) -> list[str]:
+    """Load-time blocklist validation (r5 verdict #9): an entry DEEPER
+    than the suffix cap is matched exactly (the full-host probe) but its
+    SUBDOMAINS can never match — a corpus host one label deeper derives no
+    suffix at that depth. Warns loudly (bounded sample) and returns the
+    offending entries; one tiny control-plane job over the by-contract
+    broadcastable blocklist."""
+    deep = [r["host"] for r in _normalize_entries(blocked_hosts, "host")
+            .where(F.size(F.split("host", r"\.")) > max_labels)
+            .limit(20).collect()]
+    if deep:
+        import warnings
+
+        warnings.warn(
+            f"blocklist entries deeper than MAX_HOST_LABELS="
+            f"{max_labels} match only EXACT hosts, never their "
+            f"subdomains (suffix chains are capped): {deep}. Raise "
+            "MAX_HOST_LABELS or shorten the entries.",
+            stacklevel=3)
+    return deep
+
+
 def url_pattern_flag_expr(url: Column,
                           patterns: tuple[str, ...] = DEFAULT_URL_PATTERNS
                           ) -> Column:
@@ -196,9 +242,7 @@ def with_registrable_domain(docs: DataFrame, host_col: str,
     Wildcard (`*.ck`) and exception (`!www.ck`) PSL rules are outside the
     snapshot's plain-rule model — documented in PSL_SNAPSHOT."""
     max_j = PSL_MAX_LABELS
-    psl_norm = psl.select(
-        F.lower(F.trim(F.col("suffix"))).alias("suffix")
-    ).where(F.length("suffix") > 0).distinct()
+    psl_norm = _normalize_entries(psl, "suffix")
     out = docs.withColumn("__pl", F.split(F.col(host_col), r"\."))
     n = F.size("__pl")
     hit_depths = []
@@ -206,10 +250,7 @@ def with_registrable_domain(docs: DataFrame, host_col: str,
     # ps=1, which IS the default rule — the probe would be a no-op join
     for j in range(2, max_j + 1):
         marker = f"__psl{j}"
-        key = F.when(
-            n >= j,
-            F.nullif(F.array_join(F.slice(F.col("__pl"), n - j + 1, j),
-                                  "."), F.lit("")))
+        key = _suffix_key_expr(F.col("__pl"), n, j)
         rules_j = psl_norm.where(
             F.size(F.split("suffix", r"\.")) == j
         ).select(F.col("suffix").alias(marker))
@@ -293,7 +334,7 @@ def domain_stats(docs: DataFrame, url_col: str = "url",
 def filter_urls(docs: DataFrame, blocked_hosts: DataFrame | None = None,
                 url_col: str = "url",
                 patterns: tuple[str, ...] = DEFAULT_URL_PATTERNS,
-                action: str = "flag") -> DataFrame:
+                action: str = "flag", validate: bool = True) -> DataFrame:
     """The URL gate. `blocked_hosts` needs a `host` string column
     (registrable domains; matching covers the domain AND every subdomain).
 
@@ -301,6 +342,11 @@ def filter_urls(docs: DataFrame, blocked_hosts: DataFrame | None = None,
     `block_reason` ('domain' < 'pattern' when both) — the auditable form
     (manifests record WHY a url was dropped, mirroring failure_code).
     action='drop': returns only the passing rows (the production gate).
+
+    `validate=True` runs `validate_blocklist` (one tiny eager job over the
+    broadcast-side table) — loud by default; pass False when building the
+    gate repeatedly over an already-validated blocklist to keep this a
+    pure lazy plan builder.
     """
     if action not in ("flag", "drop"):
         raise ValueError(f"action must be 'flag' or 'drop', got {action!r}")
@@ -311,31 +357,9 @@ def filter_urls(docs: DataFrame, blocked_hosts: DataFrame | None = None,
                      F.lit(False)) if patterns else F.lit(False)
     out = docs.withColumn("__pat", pat)
     if blocked_hosts is not None:
-        # normalize the blocklist side: real blocklist files carry mixed
-        # case / stray whitespace / blank lines, and the suffix keys are
-        # lowercase and never empty. distinct() also guarantees each
-        # per-depth left join matches at most one row (no fan-out).
-        blocked_norm = blocked_hosts.select(
-            F.lower(F.trim(F.col("host"))).alias("host")
-        ).where(F.length("host") > 0).distinct()
-        # load-time validation (r5 verdict #9): an entry DEEPER than the
-        # suffix cap is matched exactly (the full-host probe), but
-        # subdomains of it can never match — a corpus host one label
-        # deeper derives no suffix at that depth. The blocklist side is
-        # tiny (broadcast by contract), so this probe is one bounded
-        # control-plane job; warn loudly instead of silently half-matching.
-        deep = [r["host"] for r in blocked_norm.where(
-            F.size(F.split("host", r"\.")) > MAX_HOST_LABELS)
-            .limit(20).collect()]
-        if deep:
-            import warnings
-
-            warnings.warn(
-                f"blocklist entries deeper than MAX_HOST_LABELS="
-                f"{MAX_HOST_LABELS} match only EXACT hosts, never their "
-                f"subdomains (suffix chains are capped): {deep}. Raise "
-                "MAX_HOST_LABELS or shorten the entries.",
-                stacklevel=2)
+        blocked_norm = _normalize_entries(blocked_hosts, "host")
+        if validate:
+            validate_blocklist(blocked_hosts)
         # Stage host + label array ONCE, then derive the per-depth suffix
         # key columns in a SECOND select: CollapseProject keeps a non-cheap
         # attribute referenced >1 time staged, so the split runs once per
@@ -351,13 +375,7 @@ def filter_urls(docs: DataFrame, blocked_hosts: DataFrame | None = None,
             "__sfx0": F.when(n > max_labels, F.col("__h")),
         }
         for j in range(1, max_labels + 1):
-            # last j labels; NULL when the host has fewer than j labels.
-            # nullif('') keeps an empty host from matching anything even
-            # if a blank blocklist line survived normalization.
-            sfx_keys[f"__sfx{j}"] = F.when(
-                n >= j,
-                F.nullif(F.array_join(F.slice(F.col("__hl"), n - j + 1, j),
-                                      "."), F.lit("")))
+            sfx_keys[f"__sfx{j}"] = _suffix_key_expr(F.col("__hl"), n, j)
         out = out.withColumns(sfx_keys)
         # One broadcast of the blocklist, probed once per depth: left joins
         # on each suffix column. No Generate, no join-back, no shuffle of

@@ -244,19 +244,28 @@ def compact_lsh_store(spark: SparkSession, path: str) -> dict:
     Jaccard threshold — deduping by (band, bucket) would keep one
     arbitrary owner, and every future near-dup of the dropped owner would
     probe, miss, and be admitted forever (silent loss, r5 verdict #1).
-    Use `compact_batch_lsh_store` for that store."""
+    Use `compact_batch_lsh_store` for that store.
+
+    The recover + schema read happen INSIDE the leased section (review
+    finding): an un-leased recover_store here could resurrect the trash
+    dir of a CONCURRENT compaction sitting between its two swap renames,
+    making that compaction's second rename collide mid-commit."""
     from ..streaming.minhash import _META_NAME
 
-    recover_store(path)
-    if "id" in spark.read.parquet(path).schema.fieldNames():
-        raise ValueError(
-            f"LSH store at {path} carries an owner `id` column — this is "
-            "the batch-incremental index, and collapsing it to one row per "
-            "(band, bucket) would drop legitimate co-bucketed owners and "
-            "silently re-admit their future near-duplicates. Run "
-            "compact_batch_lsh_store instead.")
-    return compact_table(spark, path, ["band", "bucket"],
-                         partition_by=["bp"], preserve_files=[_META_NAME])
+    with WriterLease(os.path.dirname(path.rstrip("/")) or ".",
+                     3600.0) as lease:
+        recover_store(path)
+        if "id" in spark.read.parquet(path).schema.fieldNames():
+            raise ValueError(
+                f"LSH store at {path} carries an owner `id` column — this "
+                "is the batch-incremental index, and collapsing it to one "
+                "row per (band, bucket) would drop legitimate co-bucketed "
+                "owners and silently re-admit their future "
+                "near-duplicates. Run compact_batch_lsh_store instead.")
+        return _compact_table_locked(spark, path, ["band", "bucket"],
+                                     partition_by=["bp"],
+                                     preserve_files=[_META_NAME],
+                                     lease=lease)
 
 
 def compact_batch_lsh_store(spark: SparkSession, path: str) -> dict:

@@ -1236,3 +1236,30 @@ def test_blocklist_depth_warning(spark):
         filter_urls(docs, spark.createDataFrame([("ok.example",)],
                                                 "host string")).collect()
     assert not [w for w in caught if "subdomains" in str(w.message)]
+
+
+def test_incremental_refuses_lost_canon(spark, tmp_path):
+    """Review finding on the crash-retry guard: a store whose owner ids
+    are NOT from this increment while canon_dir has no data is a LOST (or
+    mispointed) canon table, not a first-batch crash window — the guard
+    must refuse loudly instead of probe-skipping and silently admitting
+    every near-dup of the indexed corpus."""
+    import shutil
+
+    from rag_pdf_parser_spark.operators.dedup import dedup_corpus_incremental
+
+    store = str(tmp_path / "idx")
+    canon = str(tmp_path / "canon")
+    A = spark.createDataFrame(
+        [("a0", "an indexed corpus document with plenty of words about "
+                "turbines and impellers spinning in laminar flow")],
+        "doc_id string, text string")
+    dedup_corpus_incremental(A, store, canon)
+    shutil.rmtree(canon)  # the disaster: canon gone, mature store remains
+
+    B = spark.createDataFrame(
+        [("b0", "an indexed corpus document with plenty of words about "
+                "turbines and impellers whirling in laminar flow")],
+        "doc_id string, text string")
+    with pytest.raises(ValueError, match="lost or mispointed"):
+        dedup_corpus_incremental(B, store, canon)
