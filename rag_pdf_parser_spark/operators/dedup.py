@@ -362,9 +362,25 @@ def simhash_near_dup_pairs(df: DataFrame, id_col: str = "doc_id",
 
 def ngram_jaccard_pairs(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
                         text_col: str = "text", n: int = 5,
-                        shingle: str = "char") -> DataFrame:
+                        shingle: str = "char",
+                        min_jaccard: float | None = None) -> DataFrame:
     """Exact n-gram Jaccard for candidate pairs (id_a, id_b): explode distinct
     shingles, equi-join on shingle, |∩| / (|A|+|B|-|∩|).
+
+    `min_jaccard` switches on the EXACT size-bound prefilter for the
+    dedup-verify workload: J(A,B) ≥ t requires min(|A|,|B|)/max(|A|,|B|)
+    ≥ t (|A∩B| ≤ min and |A∪B| ≥ max), so pairs failing the bound are
+    PROVABLY below t and are dropped BEFORE the gram fan-out — the
+    returned pairs still carry their exact Jaccard, only sub-threshold
+    pairs vanish from the output. The fan-out this avoids is the verify
+    stage's whole cost: each surviving pair costs O(|A|+|B|) joined gram
+    rows, and an LSH candidate set over a template-heavy corpus is
+    dominated by low-J banding collisions (measured at sf0.1, recall-first
+    (8,4) banding: 870,708 candidates, 99.9% at J<0.3, 256 true pairs at
+    t=0.8 — the bound drops 57% of the pairs before the fan-out and cuts
+    the verify stage 80.1 → 46.7 s; BENCH.md "dedup_corpus stage
+    profile"). None (default) = every input pair reported, the
+    oracle-checked contract.
 
     shingle='char' (default, the oracle-checked config): character n-grams
     via index-sequence explode + post-Generate substring (the 37× minhash
@@ -400,6 +416,19 @@ def ngram_jaccard_pairs(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
             "id", F.substring(F.col("__t"), F.col("__i"), F.lit(n)).alias("g")
         ).distinct()
     sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
+    if min_jaccard is not None:
+        # tiny table (one row per doc) — checkpoint so the prefilter join
+        # and the final size joins don't each re-run the gram explode
+        sizes = sizes.localCheckpoint(eager=True)
+        pairs = (
+            pairs.join(sizes.select(F.col("id").alias("id_a"),
+                                    F.col("sz").alias("__sa")), "id_a")
+            .join(sizes.select(F.col("id").alias("id_b"),
+                               F.col("sz").alias("__sb")), "id_b")
+            .where(F.least("__sa", "__sb")
+                   >= min_jaccard * F.greatest("__sa", "__sb"))
+            .select("id_a", "id_b")
+        )
     a = sh.select(F.col("id").alias("id_a"), "g")
     b = sh.select(F.col("id").alias("id_b"), F.col("g"))
     inter_counts = (
@@ -574,7 +603,7 @@ def dedup_keep_canonical(docs: DataFrame, pairs: DataFrame,
 
 def dedup_corpus(docs: DataFrame, id_col: str = "doc_id",
                  text_col: str = "text", jaccard_threshold: float = 0.8,
-                 n: int = 5, num_perm: int = 8, bands: int = 4,
+                 n: int = 5, num_perm: int = 32, bands: int = 8,
                  shingle: str = "char",
                  max_bucket: int | None = 10_000) -> DataFrame:
     """The COMPLETE near-duplicate removal pipeline in one call — the
@@ -587,13 +616,27 @@ def dedup_corpus(docs: DataFrame, id_col: str = "doc_id",
       → connected components              (pairs → clusters, min-label)
       → keep-canonical                    (min id per cluster + unpaired)
 
-    Verification matters: LSH candidates at (num_perm=8, bands=4) include
-    low-similarity collisions; the Jaccard gate at `jaccard_threshold`
-    makes the drop decision exact — and it runs in the SAME shingle space
-    (`shingle`/`n` are passed through) that the LSH stage approximated, as
-    the published recipes require. `max_bucket` caps boilerplate
-    mega-buckets (their members are exact dups — the exact lane upstream
-    already collapsed those).
+    Verification matters: LSH banding includes low-similarity collisions;
+    the Jaccard gate at `jaccard_threshold` makes the drop decision exact
+    — and it runs in the SAME shingle space (`shingle`/`n` are passed
+    through) that the LSH stage approximated, as the published recipes
+    require. `max_bucket` caps boilerplate mega-buckets (their members
+    are exact dups — the exact lane upstream already collapsed those).
+
+    Default signature config is (num_perm=32, bands=8) — r=4 rows/band,
+    S-curve midpoint (1/b)^(1/r) ≈ 0.59. Versus the pair-generation
+    operator's recall-first (8, 4): identical recall at the 0.8 threshold
+    (1-(1-J^4)^8 = 0.985 at J=0.8 vs 0.983 — and measured at sf0.1 the
+    two configs find the IDENTICAL 256 true pairs) with sharply fewer
+    low-J banding collisions (theory: 12× at J=0.2; measured on this
+    template-heavy corpus: 870,708 → 464,414 candidates, 1.9× — the
+    surviving collision mass sits near the r=4 S-curve crossover at
+    J≈0.3-0.5, where the pigeonhole gap narrows). Combined with the exact
+    size-bound prefilter the recipe's end-to-end cost at sf0.1 drops
+    172 → 62.5 s (BENCH.md "dedup_corpus stage profile"). Signatures cost
+    4× more hashes — embarrassingly parallel, the side of the trade you
+    WANT to pay at 100 TB (Lee et al. spend 9,000 hashes per doc for
+    exactly this reason).
 
     Scale shape: every stage is the scale-safe formulation documented on
     its function; the Jaccard verify is candidate-pair-bounded. Returns
@@ -613,7 +656,8 @@ def dedup_corpus(docs: DataFrame, id_col: str = "doc_id",
                                 n=n, num_perm=num_perm, bands=bands,
                                 shingle=shingle, max_bucket=max_bucket)
     verified = ngram_jaccard_pairs(out, cands, id_col=id_col,
-                                   text_col=text_col, n=n, shingle=shingle) \
+                                   text_col=text_col, n=n, shingle=shingle,
+                                   min_jaccard=jaccard_threshold) \
         .where(F.col("jaccard") >= jaccard_threshold) \
         .select("id_a", "id_b")
     return dedup_keep_canonical(out, verified, id_col)
@@ -623,7 +667,7 @@ def dedup_corpus_incremental(increment: DataFrame, store_dir: str,
                              canon_dir: str, id_col: str = "doc_id",
                              text_col: str = "text",
                              jaccard_threshold: float = 0.8, n: int = 5,
-                             num_perm: int = 8, bands: int = 4,
+                             num_perm: int = 32, bands: int = 8,
                              shingle: str = "char",
                              max_bucket: int | None = 10_000,
                              store_partitions: int | None = None,
@@ -826,7 +870,8 @@ def _dedup_corpus_incremental_locked(spark, increment, store_dir, canon_dir,
         texts = batch.select(id_col, text_col).unionByName(canon_hit)
         dropped = (
             ngram_jaccard_pairs(texts, cands, id_col=id_col,
-                                text_col=text_col, n=n, shingle=shingle)
+                                text_col=text_col, n=n, shingle=shingle,
+                                min_jaccard=jaccard_threshold)
             .where(F.col("jaccard") >= jaccard_threshold)
             .select(F.col("id_a").alias(id_col)).distinct()
         )

@@ -313,7 +313,7 @@ def bilingual_markdown_sql(n_pages: int = 300) -> str:
 
 
 def dedup_corpus_sql(jaccard_threshold: float = 0.8, n: int = 5,
-                     num_perm: int = 8, bands: int = 4) -> str:
+                     num_perm: int = 32, bands: int = 8) -> str:
     """Golden for the COMPOSED one-call `dedup_corpus` recipe — the whole
     exact → LSH-candidates → Jaccard-verify → components → keep-canonical
     chain re-run locally and independently (sha256 exact keys, pure-Python

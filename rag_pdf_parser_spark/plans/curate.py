@@ -164,7 +164,7 @@ def curate_corpus_incremental(increment: DataFrame, store_dir: str,
                               id_col: str = "doc_id", url_col: str = "url",
                               text_col: str = "text",
                               jaccard_threshold: float = 0.8,
-                              n: int = 5, num_perm: int = 8, bands: int = 4,
+                              n: int = 5, num_perm: int = 32, bands: int = 8,
                               shingle: str = "char",
                               max_bucket: int | None = 10_000,
                               store_partitions: int | None = None

@@ -1006,9 +1006,9 @@ def test_incremental_first_batch_crash_retry(spark, tmp_path):
     # simulate the crash window: buckets written (the crash-safe FIRST
     # append), canon never created
     write_store_meta(store, STORE_PARTITIONS,
-                     extra={"lsh_n": 5, "lsh_num_perm": 8, "lsh_bands": 4,
+                     extra={"lsh_n": 5, "lsh_num_perm": 32, "lsh_bands": 8,
                             "lsh_shingle": "char"})
-    (lsh_buckets(first, "doc_id", "text")
+    (lsh_buckets(first, "doc_id", "text", num_perm=32, bands=8)
      .withColumn("bp", store_partition_expr(F.col("band"), F.col("bucket"),
                                             STORE_PARTITIONS))
      .select("band", "bucket", "id", "bp")
@@ -1047,8 +1047,12 @@ def test_compact_batch_lsh_store_preserves_owners(spark, tmp_path):
     canon = str(tmp_path / "canon")
     A = spark.createDataFrame([("x1", t1), ("x2", t2)],
                               "doc_id string, text string")
+    # (8, 4) pinned: the co-bucket fixture is crafted for r=2 banding —
+    # at the recipe's precision-first default (32, 8) a J=0.4 pair rarely
+    # shares a bucket, which is the point of that default
     adm = sorted(r["doc_id"] for r in
-                 dedup_corpus_incremental(A, store, canon).collect())
+                 dedup_corpus_incremental(A, store, canon, num_perm=8,
+                                          bands=4).collect())
     assert adm == ["x1", "x2"]  # similar but below threshold: both admitted
 
     # precondition of the hazard: the two owners REALLY share a bucket
@@ -1078,7 +1082,8 @@ def test_compact_batch_lsh_store_preserves_owners(spark, tmp_path):
         [("y1", t1.replace("alpha3", "other3")),
          ("y2", t2.replace("gamma3", "newly3"))],
         "doc_id string, text string")
-    assert dedup_corpus_incremental(B, store, canon).count() == 0
+    assert dedup_corpus_incremental(B, store, canon, num_perm=8,
+                                    bands=4).count() == 0
     assert sorted(r["doc_id"] for r in
                   spark.read.parquet(canon).collect()) == ["x1", "x2"]
 
