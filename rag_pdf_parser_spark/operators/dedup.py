@@ -397,8 +397,20 @@ def ngram_jaccard_pairs(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
     64-bit collisions, and the Generate never copies gram strings."""
     if shingle not in ("char", "word"):
         raise ValueError(f"shingle must be 'char' or 'word', got {shingle!r}")
-    pre = df.select(F.col(id_col).alias("id"),
-                    normalized_text_expr(F.col(text_col)).alias("__t"))
+    # restrict the doc side to ids appearing in SOME candidate pair before
+    # any text work: a doc in no pair cannot reach the output (every
+    # downstream join is inner on pair ids), and at corpus scale the
+    # candidate docs are a vanishing fraction of the input — without this
+    # the gram explode fans out the WHOLE corpus three times (size table +
+    # both intersection sides) only for the pair joins to drop it. The
+    # pair ids end in a distinct shuffle, so AQE reuses one exchange for
+    # this semi-join and the later pair joins.
+    ids = (pairs.select(F.col("id_a").alias(id_col))
+           .unionByName(pairs.select(F.col("id_b").alias(id_col)))
+           .distinct())
+    pre = df.join(ids, id_col, "left_semi").select(
+        F.col(id_col).alias("id"),
+        normalized_text_expr(F.col(text_col)).alias("__t"))
     if shingle == "word":
         grams = token_ngrams_expr(F.col("__t"), n, pre_normalized=True)
         sh = pre.select(
