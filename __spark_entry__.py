@@ -1236,10 +1236,14 @@ _EXTRA_KEYS = (
     "dedup_corpus",
     # r6 rotation (r5 verdict #8): curation_funnel + domain_stats — the two
     # ops a curation user actually runs end-to-end — took driver slots from
-    # these two redundant relational rows. Coverage they carried stays in
-    # the driver set: the join shapes via customer_order_counts_outer +
-    # orders_with_returned_items + topk_orders_per_customer, percentile/
-    # window aggs via topk_orders_per_customer + hourly_event_stats.
+    # these two redundant relational rows. revenue_by_nation's join shapes
+    # stay driver via customer_order_counts_outer +
+    # orders_with_returned_items; window coverage stays via
+    # topk_orders_per_customer (rank window). value_percentiles was the
+    # driver set's ONLY exact-percentile (ordered-agg) query — that
+    # coverage now lives solely in the extras oracle (identical parity
+    # gate, pytest mini-driver); a future rotation wanting driver-visible
+    # percentiles should bring it back rather than assume overlap.
     "revenue_by_nation",
     "value_percentiles",
 )

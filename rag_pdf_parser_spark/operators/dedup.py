@@ -360,6 +360,20 @@ def simhash_near_dup_pairs(df: DataFrame, id_col: str = "doc_id",
 
 # --- Jaccard -----------------------------------------------------------------------
 
+def jaccard_size_bound_expr(sz_a: Column, sz_b: Column,
+                            threshold: float) -> Column:
+    """Keep-predicate of the verify prefilter: J(A,B) ≤ min/max, and the
+    reported jaccard is round-half-up-6, so the downstream ≥ threshold
+    gate keeps any pair with true J ≥ threshold − 5e-7. A pair can
+    therefore be safely dropped only when min < (threshold − slack)·max;
+    the 1e-6 slack doubles the rounding window, which also absorbs the
+    float error of the multiplication itself (exactly-on-the-window
+    products like 0.7999995·2_000_000 land on either side of the integer
+    depending on rounding of the literal). Over-admission is harmless —
+    survivors carry their exact jaccard and the caller's gate drops them."""
+    return F.least(sz_a, sz_b) >= (threshold - 1e-6) * F.greatest(sz_a, sz_b)
+
+
 def ngram_jaccard_pairs(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
                         text_col: str = "text", n: int = 5,
                         shingle: str = "char",
@@ -367,11 +381,14 @@ def ngram_jaccard_pairs(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
     """Exact n-gram Jaccard for candidate pairs (id_a, id_b): explode distinct
     shingles, equi-join on shingle, |∩| / (|A|+|B|-|∩|).
 
-    `min_jaccard` switches on the EXACT size-bound prefilter for the
+    `min_jaccard` switches on the size-bound prefilter for the
     dedup-verify workload: J(A,B) ≥ t requires min(|A|,|B|)/max(|A|,|B|)
-    ≥ t (|A∩B| ≤ min and |A∪B| ≥ max), so pairs failing the bound are
-    PROVABLY below t and are dropped BEFORE the gram fan-out — the
-    returned pairs still carry their exact Jaccard, only sub-threshold
+    ≥ t (|A∩B| ≤ min and |A∪B| ≥ max), so pairs whose size ratio falls
+    below t − 1e-6 are PROVABLY below the rounded ≥ t gate (the reported
+    jaccard is round-half-up to 6 digits; the 1e-6 slack covers the
+    rounding window) and are dropped BEFORE the gram fan-out — the
+    returned pairs still carry their exact Jaccard, and every pair whose
+    ROUNDED jaccard reaches t survives; only provably-sub-threshold
     pairs vanish from the output. The fan-out this avoids is the verify
     stage's whole cost: each surviving pair costs O(|A|+|B|) joined gram
     rows, and an LSH candidate set over a template-heavy corpus is
@@ -437,8 +454,13 @@ def ngram_jaccard_pairs(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
                                     F.col("sz").alias("__sa")), "id_a")
             .join(sizes.select(F.col("id").alias("id_b"),
                                F.col("sz").alias("__sb")), "id_b")
-            .where(F.least("__sa", "__sb")
-                   >= min_jaccard * F.greatest("__sa", "__sb"))
+            # slack bound: the unrounded min >= t*max would drop a
+            # boundary pair (J in [t-5e-7, t), reachable only at
+            # >=1e6-shingle docs — exactly the corpus-scale regime) that
+            # the round-half-up-6 gate keeps, making output depend on
+            # whether the prefilter is on — see jaccard_size_bound_expr
+            .where(jaccard_size_bound_expr(
+                F.col("__sa"), F.col("__sb"), min_jaccard))
             .select("id_a", "id_b")
         )
     a = sh.select(F.col("id").alias("id_a"), "g")

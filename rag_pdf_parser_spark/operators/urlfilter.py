@@ -240,9 +240,18 @@ def with_registrable_domain(docs: DataFrame, host_col: str,
     `psl` is normalized exactly like the blocklist side (lower/trim/
     non-empty/distinct) so each per-depth join matches at most one rule.
     Wildcard (`*.ck`) and exception (`!www.ck`) PSL rules are outside the
-    snapshot's plain-rule model — documented in PSL_SNAPSHOT."""
-    max_j = PSL_MAX_LABELS
+    snapshot's plain-rule model — documented in PSL_SNAPSHOT.
+
+    The probe depth is derived from the SUPPLIED table (one control-plane
+    aggregate over the tiny broadcast side), not from the packaged
+    snapshot's PSL_MAX_LABELS: the documented production path swaps in
+    the full publicsuffix.org list, whose plain rules reach depth 4-5
+    ('pvt.k12.ma.us'), and capping at the snapshot's depth would silently
+    drop those rules and mis-key every host under them."""
     psl_norm = _normalize_entries(psl, "suffix")
+    max_j = (psl_norm
+             .select(F.max(F.size(F.split("suffix", r"\."))).alias("d"))
+             .first()["d"]) or 1
     out = docs.withColumn("__pl", F.split(F.col(host_col), r"\."))
     n = F.size("__pl")
     hit_depths = []
@@ -258,7 +267,10 @@ def with_registrable_domain(docs: DataFrame, host_col: str,
         out = out.join(F.broadcast(rules_j),
                        out[f"__k{j}"] == rules_j[marker], "left")
         hit_depths.append(F.when(F.col(marker).isNotNull(), F.lit(j)))
-    ps = F.greatest(*reversed(hit_depths), F.lit(1))
+    # an all-depth-1 table probes nothing: every host takes the default
+    # rule (greatest() needs >= 2 args, so guard the empty case)
+    ps = (F.greatest(*reversed(hit_depths), F.lit(1))
+          if hit_depths else F.lit(1))
     dom = F.array_join(
         F.slice(F.col("__pl"), F.greatest(n - ps, F.lit(1)), ps + F.lit(1)),
         ".")

@@ -116,6 +116,56 @@ def test_jaccard_exact(spark, docs_df):
         ngram_jaccard_pairs(docs_df, pairs, shingle="sentence")
 
 
+def test_jaccard_size_bound_keeps_rounding_boundary(spark, docs_df):
+    """The prefilter bound must never drop a pair the round-half-up-6
+    >= t gate keeps. Subset pair |A|=1,599,999 ⊂ |B|=2,000,000: true
+    J = 0.7999995 rounds to exactly 0.800000 (kept by the t=0.8 gate),
+    but the unrounded bound min >= t*max computes 1,599,999 >= 1,600,000
+    and drops it — output would depend on whether the prefilter is on.
+    Only reachable at >=1e6-shingle docs, so the predicate is asserted
+    directly on the size literals rather than via constructed texts."""
+    from rag_pdf_parser_spark.operators.dedup import jaccard_size_bound_expr
+
+    sizes = spark.createDataFrame(
+        [(1_599_999, 2_000_000),   # J_max = 0.7999995 -> rounds to 0.8
+         (1_599_997, 2_000_000),   # J_max = 0.7999985 -> rounds below 0.8
+         (1_600_000, 2_000_000),   # J_max = 0.8 exactly
+         (4, 5)],                  # small-scale sanity: 0.8 exactly
+        "sa long, sb long")
+    got = sizes.select(
+        "sa", jaccard_size_bound_expr(F.col("sa"), F.col("sb"), 0.8)
+        .alias("keep"),
+        F.round(F.col("sa") / F.col("sb"), 6).alias("rounded")).collect()
+    by_sa = {r["sa"]: r for r in got}
+    # the gate-side fact the slack exists for:
+    assert by_sa[1_599_999]["rounded"] == 0.8
+    assert by_sa[1_599_999]["keep"] is True
+    assert by_sa[1_600_000]["keep"] is True
+    assert by_sa[4]["keep"] is True
+    # provably sub-gate pairs still pruned
+    assert by_sa[1_599_997]["keep"] is False
+    # the regression: the unrounded bound drops the boundary pair
+    naive = sizes.where(F.least("sa", "sb")
+                        >= 0.8 * F.greatest("sa", "sb"))
+    assert 1_599_999 not in {r["sa"] for r in naive.collect()}
+
+    # contract at small scale: prefilter output is a SUPERSET of the
+    # gate-kept pairs of the unfiltered run, with identical values
+    pairs = spark.createDataFrame(
+        [("d00", "d01"), ("d00", "d03"), ("d00", "d07")],
+        "id_a string, id_b string")
+    full = {(r["id_a"], r["id_b"]): r["jaccard"]
+            for r in ngram_jaccard_pairs(docs_df, pairs).collect()}
+    pre = {(r["id_a"], r["id_b"]): r["jaccard"]
+           for r in ngram_jaccard_pairs(docs_df, pairs,
+                                        min_jaccard=0.8).collect()}
+    gate_kept = {k: v for k, v in full.items() if v >= 0.8}
+    assert gate_kept.items() <= pre.items()
+    # (pre may also report sub-threshold pairs — the size ratio only
+    # upper-bounds J — the callers' >= t gate drops those; the contract
+    # under test is that nothing the gate keeps went missing)
+
+
 def test_simhash_near_dups_close(spark, docs_df):
     rows = {r["doc_id"]: r["simhash"] for r in simhash(docs_df).collect()}
 
@@ -1210,6 +1260,42 @@ def test_psl_registrable_domain(spark):
     no_psl = {r["domain"]: r["n_docs"]
               for r in domain_stats(docs).collect()}
     assert no_psl == {"co.uk": 3}  # the misattribution the PSL removes
+
+
+def test_psl_probe_depth_follows_supplied_table(spark):
+    """The probe depth must come from the CALLER's psl table, not the
+    packaged snapshot's PSL_MAX_LABELS: the documented production path
+    swaps in the full publicsuffix.org list, whose plain rules reach
+    depth 4-5 ('pvt.k12.ma.us'). Capping at the snapshot depth silently
+    mis-keys every host under a deeper rule."""
+    from rag_pdf_parser_spark.operators.urlfilter import (
+        PSL_MAX_LABELS,
+        with_registrable_domain,
+    )
+
+    deep = spark.createDataFrame(
+        [("com",), ("co.uk",), ("pvt.k12.ma.us",)], "suffix string")
+    assert deep.select(
+        F.max(F.size(F.split("suffix", r"\.")))).first()[0] > PSL_MAX_LABELS
+    hosts = spark.createDataFrame(
+        [("x.school.pvt.k12.ma.us",), ("school.pvt.k12.ma.us",),
+         ("a.example.co.uk",), ("plain.example.com",)], "host string")
+    got = {r["host"]: r["domain"]
+           for r in with_registrable_domain(hosts, "host", deep).collect()}
+    assert got["x.school.pvt.k12.ma.us"] == "school.pvt.k12.ma.us"
+    assert got["school.pvt.k12.ma.us"] == "school.pvt.k12.ma.us"
+    assert got["a.example.co.uk"] == "example.co.uk"
+    assert got["plain.example.com"] == "example.com"
+
+    # degenerate caller table: every rule is depth-1 == the PSL default
+    # rule, so nothing is probed and every host cuts at 2 labels
+    flat = spark.createDataFrame([("com",), ("org",)], "suffix string")
+    got_flat = {r["host"]: r["domain"]
+                for r in with_registrable_domain(hosts, "host",
+                                                 flat).collect()}
+    assert got_flat["a.example.co.uk"] == "co.uk"  # no co.uk rule here
+    assert got_flat["plain.example.com"] == "example.com"
+    assert got_flat["x.school.pvt.k12.ma.us"] == "ma.us"
 
 
 def test_blocklist_depth_warning(spark):
