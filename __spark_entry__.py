@@ -243,8 +243,11 @@ def _synth_url_expr():
     """Deterministic url per document (documents.parquet has no url
     column): every 5th doc on a blocked tracker subdomain, a ccTLD slice
     (`*.example.co.uk` subdomains vs an unrelated `other.co.uk` site —
-    the r5-verdict PSL grouping proof), others across per-source sites;
-    every 11th/13th picks up a bad-pattern path. Shared by the
+    the r5-verdict PSL grouping proof), a wildcard-rule host
+    (`foo.www.ck` → the `!www.ck` exception) and an exception-rule host
+    (`x.city.kawasaki.jp` → `city.kawasaki.jp`) so all three PSL rule
+    classes sit under the driver parity gate, others across per-source
+    sites; every 11th/13th picks up a bad-pattern path. Shared by the
     url_filter, curation_funnel, and domain_stats queries (one definition
     ↔ one SQL twin)."""
     return F.concat(
@@ -253,6 +256,8 @@ def _synth_url_expr():
         .when(F.col("doc_id") % 17 == 3, F.lit("a.shop.example.co.uk"))
         .when(F.col("doc_id") % 17 == 8, F.lit("b.shop.example.co.uk"))
         .when(F.col("doc_id") % 17 == 12, F.lit("news.other.co.uk"))
+        .when(F.col("doc_id") % 17 == 5, F.lit("foo.www.ck"))
+        .when(F.col("doc_id") % 17 == 9, F.lit("x.city.kawasaki.jp"))
         .otherwise(F.concat(F.lit("sub"), (F.col("doc_id") % 7).cast("string"),
                             F.lit(".site-"), F.col("source"), F.lit(".org"))),
         F.lit("/page/"), F.col("doc_id").cast("string"),
@@ -1670,6 +1675,8 @@ _SYNTH_URL_SQL = (
     " WHEN doc_id % 17 = 3 THEN 'a.shop.example.co.uk'"
     " WHEN doc_id % 17 = 8 THEN 'b.shop.example.co.uk'"
     " WHEN doc_id % 17 = 12 THEN 'news.other.co.uk'"
+    " WHEN doc_id % 17 = 5 THEN 'foo.www.ck'"
+    " WHEN doc_id % 17 = 9 THEN 'x.city.kawasaki.jp'"
     " ELSE 'sub' || (doc_id % 7) || '.site-' || source || '.org' END"
     " || '/page/' || doc_id"
     " || CASE WHEN doc_id % 11 = 0 THEN '/login' ELSE '' END"
@@ -1716,20 +1723,50 @@ def _psl_domain_sql(hl: str = "hl") -> str:
     """DuckDB twin of `with_registrable_domain`, GENERATED from the same
     PSL_SNAPSHOT tuple (single source of truth): per-depth IN-list
     membership → longest matching public-suffix length (default 1 — the
-    PSL default rule) → last (ps + 1) labels, clamped to the host."""
-    from rag_pdf_parser_spark.operators.urlfilter import PSL_SNAPSHOT
+    PSL default rule) → last (ps + 1) labels, clamped to the host.
+    Mirrors all three rule classes: plain (depth-j suffix match → ps=j),
+    wildcard (base match at depth b AND host deeper than the base →
+    ps=b+1), exception (match at depth d PREVAILS with ps=d-1)."""
+    from rag_pdf_parser_spark.operators.urlfilter import (
+        PSL_SNAPSHOT,
+        _psl_rule_classes,
+    )
 
-    by_depth: dict[int, list[str]] = {}
-    for s in PSL_SNAPSHOT:
-        by_depth.setdefault(s.count(".") + 1, []).append(s)
+    plain, wc, exc = _psl_rule_classes(PSL_SNAPSHOT)
+
+    def _last_j(j: int) -> str:
+        return (f"array_to_string(list_slice({hl}, len({hl}) - {j - 1}, "
+                f"len({hl})), '.')")
+
+    def _by_depth(rules: list[str]) -> dict[int, str]:
+        d: dict[int, list[str]] = {}
+        for s in rules:
+            d.setdefault(s.count(".") + 1, []).append(s)
+        return {j: ", ".join(f"'{s}'" for s in sorted(v))
+                for j, v in d.items()}
+
     cases = []
-    for j in sorted(by_depth, reverse=True):
-        vals = ", ".join(f"'{s}'" for s in sorted(by_depth[j]))
+    for j, vals in sorted(_by_depth(plain).items(), reverse=True):
         cases.append(
-            f"coalesce(CASE WHEN len({hl}) >= {j} AND array_to_string("
-            f"list_slice({hl}, len({hl}) - {j - 1}, len({hl})), '.') "
+            f"coalesce(CASE WHEN len({hl}) >= {j} AND {_last_j(j)} "
             f"IN ({vals}) THEN {j} END, 0)")
-    ps = "greatest(" + ", ".join(cases) + ", 1)"
+    for b, vals in sorted(_by_depth(wc).items(), reverse=True):
+        cases.append(
+            f"coalesce(CASE WHEN len({hl}) >= {b + 1} AND {_last_j(b)} "
+            f"IN ({vals}) THEN {b + 1} END, 0)")
+    ps_normal = "greatest(" + ", ".join(cases) + ", 1)"
+    exc_cases = [
+        f"coalesce(CASE WHEN len({hl}) >= {d} AND {_last_j(d)} "
+        f"IN ({vals}) THEN {d - 1} END, 0)"
+        for d, vals in sorted(_by_depth(exc).items(), reverse=True)
+        if d >= 2
+    ]
+    if exc_cases:
+        exc_ps = ("greatest(" + ", ".join(exc_cases) + ")"
+                  if len(exc_cases) > 1 else exc_cases[0])
+        ps = f"CASE WHEN {exc_ps} > 0 THEN {exc_ps} ELSE {ps_normal} END"
+    else:
+        ps = ps_normal
     return (f"array_to_string(list_slice({hl}, "
             f"greatest(len({hl}) - ({ps}), 1), len({hl})), '.')")
 

@@ -419,12 +419,17 @@ def ngram_jaccard_pairs(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
     # downstream join is inner on pair ids), and at corpus scale the
     # candidate docs are a vanishing fraction of the input — without this
     # the gram explode fans out the WHOLE corpus three times (size table +
-    # both intersection sides) only for the pair joins to drop it. The
-    # pair ids end in a distinct shuffle, so AQE reuses one exchange for
-    # this semi-join and the later pair joins.
+    # both intersection sides) only for the pair joins to drop it.
+    # localCheckpoint is LOAD-BEARING, not an optimization: without it the
+    # semi-join splices the caller's ENTIRE candidate-generation plan
+    # (MinHash signatures + band self-join in dedup_corpus) into the doc
+    # side's lineage, and every re-execution of the gram explode (size
+    # table, both intersection sides) re-runs that plan — measured 1.5×
+    # SLOWER end-to-end than no prefilter at sf0.1. ids is bounded by
+    # |docs| (distinct doc ids), so the materialization is tiny.
     ids = (pairs.select(F.col("id_a").alias(id_col))
            .unionByName(pairs.select(F.col("id_b").alias(id_col)))
-           .distinct())
+           .distinct().localCheckpoint(eager=True))
     pre = df.join(ids, id_col, "left_semi").select(
         F.col(id_col).alias("id"),
         normalized_text_expr(F.col(text_col)).alias("__t"))
@@ -686,9 +691,15 @@ def dedup_corpus(docs: DataFrame, id_col: str = "doc_id",
     """
     out = exact_dedup(docs, text_col, id_col).drop("content_sha") \
         .localCheckpoint(eager=True)
+    # materialize the candidate pairs: the verify stage references them
+    # four times (pair-id restriction, size prefilter, intersection count,
+    # zero-overlap left join) and each reference would otherwise re-run
+    # the banding self-join; the pair set is bounded (max_bucket caps the
+    # per-bucket quadratic blowup)
     cands = lsh_candidate_pairs(out, id_col=id_col, text_col=text_col,
                                 n=n, num_perm=num_perm, bands=bands,
-                                shingle=shingle, max_bucket=max_bucket)
+                                shingle=shingle, max_bucket=max_bucket) \
+        .localCheckpoint(eager=True)
     verified = ngram_jaccard_pairs(out, cands, id_col=id_col,
                                    text_col=text_col, n=n, shingle=shingle,
                                    min_jaccard=jaccard_threshold) \
@@ -894,6 +905,11 @@ def _dedup_corpus_incremental_locked(spark, increment, store_dir, canon_dir,
             # duplicate, so it must not count against admission
             .where(F.col("id") != F.col("id_b"))
             .select(F.col("id").alias("id_a"), "id_b").distinct()
+            # materialized for the same reason as dedup_corpus's cands:
+            # referenced by the canon-text semi-join and four times inside
+            # the verify, each of which would otherwise re-read the store
+            # and re-run the probe join; bounded by the candidate pairs
+            .localCheckpoint(eager=True)
         )
         canon_hit = (
             spark.read.parquet(canon_dir)

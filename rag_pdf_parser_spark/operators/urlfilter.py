@@ -45,12 +45,14 @@ MAX_HOST_LABELS = 6
 #: Packaged public-suffix-list SNAPSHOT (r5 verdict #2): the multi-label
 #: entries of the publicsuffix.org ICANN section that real web corpora hit
 #: most (ccTLD second-level registries; the state-education third-level
-#: .au entries give depth-3 coverage). PLAIN rules only — the PSL's
-#: wildcard (`*.ck`) and exception (`!www.ck`) rules are out of snapshot
-#: scope; single-label TLDs need no entry because the PSL default rule
-#: (unknown TLD → the TLD itself is the public suffix) is built into the
-#: longest-match below. In production swap the full publicsuffix.org dat
-#: for this tuple — `psl_table` is the only seam.
+#: .au entries give depth-3 coverage), plus the list's wildcard
+#: (`*.ck` — any single label in place of `*`) and exception (`!www.ck`
+#: — carves a registrable name out of a wildcard) rules in their native
+#: syntax (the classics: .ck, .np, .kawasaki.jp). Single-label TLDs need
+#: no entry because the PSL default rule (unknown TLD → the TLD itself is
+#: the public suffix) is built into the longest-match below. In
+#: production swap the full publicsuffix.org dat for this tuple —
+#: `psl_table` is the only seam.
 PSL_SNAPSHOT = (
     # .uk
     "co.uk", "org.uk", "me.uk", "ltd.uk", "plc.uk", "net.uk", "sch.uk",
@@ -94,11 +96,51 @@ PSL_SNAPSHOT = (
     "co.id", "net.id", "org.id", "ac.id", "go.id", "or.id", "sch.id",
     "web.id", "my.id", "biz.id",
     "com.ua", "net.ua", "org.ua", "edu.ua", "gov.ua", "in.ua",
+    # wildcard + exception rules (publicsuffix.org ICANN section, native
+    # syntax): every label under .ck/.np is itself a public suffix,
+    # except the carved-out registrable names
+    "*.ck", "!www.ck",
+    "*.np",
+    "*.kawasaki.jp", "!city.kawasaki.jp",
 )
 
-#: deepest rule in the snapshot (3: the *.edu.au state registries) — the
-#: per-depth probe count below
-PSL_MAX_LABELS = max(s.count(".") + 1 for s in PSL_SNAPSHOT)
+
+def _psl_rule_classes(entries=PSL_SNAPSHOT
+                      ) -> tuple[list[str], list[str], list[str]]:
+    """Split raw PSL entries into (plain, wildcard-base, exception-base)
+    rule lists: '*.ck' → wildcard base 'ck', '!www.ck' → exception base
+    'www.ck', everything else plain. Single source for the Spark probes,
+    the generated DuckDB twin, and the probe-count audit."""
+    plain: list[str] = []
+    wc: list[str] = []
+    exc: list[str] = []
+    for s in entries:
+        if s.startswith("!"):
+            exc.append(s[1:])
+        elif s.startswith("*."):
+            wc.append(s[2:])
+        else:
+            plain.append(s)
+    return plain, wc, exc
+
+
+#: deepest PLAIN rule in the snapshot (3: the *.edu.au state registries)
+PSL_MAX_LABELS = max(s.count(".") + 1
+                     for s in PSL_SNAPSHOT
+                     if not s.startswith(("!", "*.")))
+
+
+def psl_probe_count(entries=PSL_SNAPSHOT) -> int:
+    """How many per-depth broadcast probes `with_registrable_domain`
+    makes for this rule set: plain depths 2..P, wildcard-base depths
+    1..W, exception depths 2..E (each loop probes EVERY depth up to its
+    class maximum — empty depths join an empty broadcast). The plan
+    audit asserts the executed BroadcastHashJoin count equals this."""
+    plain, wc, exc = _psl_rule_classes(entries)
+    p = max((s.count(".") + 1 for s in plain), default=1)
+    w = max((s.count(".") + 1 for s in wc), default=0)
+    e = max((s.count(".") + 1 for s in exc), default=0)
+    return max(p - 1, 0) + w + max(e - 1, 0)
 
 
 def url_host_expr(url: Column) -> Column:
@@ -239,44 +281,87 @@ def with_registrable_domain(docs: DataFrame, host_col: str,
 
     `psl` is normalized exactly like the blocklist side (lower/trim/
     non-empty/distinct) so each per-depth join matches at most one rule.
-    Wildcard (`*.ck`) and exception (`!www.ck`) PSL rules are outside the
-    snapshot's plain-rule model — documented in PSL_SNAPSHOT.
 
-    The probe depth is derived from the SUPPLIED table (one control-plane
+    All three PSL rule classes are honored, in the list's native syntax
+    (publicsuffix.org/list_format): a wildcard rule `*.ck` makes EVERY
+    single label under ck a public suffix (base probed at its own depth
+    b, hit valid only when the host has ≥ b+1 labels — the `*` must bind
+    a real label — candidate ps = b+1); an exception rule `!www.ck`
+    PREVAILS over every other match and carves its name back out
+    (ps = rule depth − 1, so 'www.ck' and anything under it registers as
+    'www.ck'). Otherwise the longest plain/wildcard match wins; no match
+    → the default rule (ps = 1). `*` is assumed leftmost-only, as in the
+    published list.
+
+    Probe depths are derived from the SUPPLIED table (one control-plane
     aggregate over the tiny broadcast side), not from the packaged
-    snapshot's PSL_MAX_LABELS: the documented production path swaps in
-    the full publicsuffix.org list, whose plain rules reach depth 4-5
+    snapshot's constants: the documented production path swaps in the
+    full publicsuffix.org list, whose plain rules reach depth 4-5
     ('pvt.k12.ma.us'), and capping at the snapshot's depth would silently
     drop those rules and mis-key every host under them."""
     psl_norm = _normalize_entries(psl, "suffix")
-    max_j = (psl_norm
-             .select(F.max(F.size(F.split("suffix", r"\."))).alias("d"))
-             .first()["d"]) or 1
+    # classify each rule once: base = the probe key (wildcard/exception
+    # markers stripped), bd = the base's label depth
+    cls = psl_norm.select(
+        F.when(F.col("suffix").startswith("!"),
+               F.expr("substring(suffix, 2)"))
+        .when(F.col("suffix").startswith("*."),
+              F.expr("substring(suffix, 3)"))
+        .otherwise(F.col("suffix")).alias("base"),
+        F.when(F.col("suffix").startswith("!"), F.lit("exc"))
+        .when(F.col("suffix").startswith("*."), F.lit("wc"))
+        .otherwise(F.lit("plain")).alias("cls"),
+    ).where(F.length("base") > 0).withColumn(
+        "bd", F.size(F.split("base", r"\.")))
+    row = cls.agg(
+        F.max(F.when(F.col("cls") == "plain", F.col("bd"))).alias("p"),
+        F.max(F.when(F.col("cls") == "wc", F.col("bd"))).alias("w"),
+        F.max(F.when(F.col("cls") == "exc", F.col("bd"))).alias("e"),
+    ).first()
+    max_p, max_w, max_e = row["p"] or 1, row["w"] or 0, row["e"] or 0
     out = docs.withColumn("__pl", F.split(F.col(host_col), r"\."))
     n = F.size("__pl")
-    hit_depths = []
-    # depth 1 is never probed: a single-label PSL rule ('com', 'uk') gives
-    # ps=1, which IS the default rule — the probe would be a no-op join
-    for j in range(2, max_j + 1):
-        marker = f"__psl{j}"
-        key = _suffix_key_expr(F.col("__pl"), n, j)
-        rules_j = psl_norm.where(
-            F.size(F.split("suffix", r"\.")) == j
-        ).select(F.col("suffix").alias(marker))
-        out = out.withColumn(f"__k{j}", key)
+    # (marker, key-depth, rule-class) probe specs; plain depth 1 and
+    # exception depth 1 are never probed (a single-label plain rule IS
+    # the default rule; a depth-1 exception would mean ps = 0), wildcard
+    # bases ARE probed at depth 1 ('*.ck' base 'ck')
+    probes = (
+        [(f"__psl{j}", j, "plain") for j in range(2, max_p + 1)]
+        + [(f"__wc{b}", b, "wc") for b in range(1, max_w + 1)]
+        + [(f"__exc{d}", d, "exc") for d in range(2, max_e + 1)]
+    )
+    key_cols: dict[int, str] = {}
+    for marker, j, rcls in probes:
+        if j not in key_cols:
+            key_cols[j] = f"__k{j}"
+            out = out.withColumn(
+                f"__k{j}", _suffix_key_expr(F.col("__pl"), n, j))
+        rules_j = cls.where(
+            (F.col("cls") == rcls) & (F.col("bd") == j)
+        ).select(F.col("base").alias(marker))
         out = out.join(F.broadcast(rules_j),
-                       out[f"__k{j}"] == rules_j[marker], "left")
-        hit_depths.append(F.when(F.col(marker).isNotNull(), F.lit(j)))
-    # an all-depth-1 table probes nothing: every host takes the default
-    # rule (greatest() needs >= 2 args, so guard the empty case)
-    ps = (F.greatest(*reversed(hit_depths), F.lit(1))
-          if hit_depths else F.lit(1))
+                       out[key_cols[j]] == rules_j[marker], "left")
+    normal_hits = (
+        [F.when(F.col(m).isNotNull(), F.lit(j))
+         for m, j, c in probes if c == "plain"]
+        + [F.when(F.col(m).isNotNull() & (n >= b + 1), F.lit(b + 1))
+           for m, b, c in probes if c == "wc"]
+    )
+    ps_normal = (F.greatest(*reversed(normal_hits), F.lit(1))
+                 if normal_hits else F.lit(1))
+    exc_hits = [F.when(F.col(m).isNotNull(), F.lit(d - 1))
+                for m, d, c in probes if c == "exc"]
+    if not exc_hits:
+        ps = ps_normal
+    elif len(exc_hits) == 1:
+        ps = F.coalesce(exc_hits[0], ps_normal)
+    else:
+        ps = F.coalesce(F.greatest(*exc_hits), ps_normal)
     dom = F.array_join(
         F.slice(F.col("__pl"), F.greatest(n - ps, F.lit(1)), ps + F.lit(1)),
         ".")
     return out.withColumn(out_col, dom).drop(
-        "__pl", *[f"__k{j}" for j in range(2, max_j + 1)],
-        *[f"__psl{j}" for j in range(2, max_j + 1)])
+        "__pl", *key_cols.values(), *[m for m, _, _ in probes])
 
 
 def domain_stats(docs: DataFrame, url_col: str = "url",

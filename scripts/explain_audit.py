@@ -253,11 +253,11 @@ def main() -> None:
         f"saw {corpus_ex}"
     assert "Generate" not in ds_exec, "domain stats must not explode"
     assert "BroadcastNestedLoopJoin" not in ds_exec
-    from rag_pdf_parser_spark.operators.urlfilter import PSL_MAX_LABELS
+    from rag_pdf_parser_spark.operators.urlfilter import psl_probe_count
 
-    assert ds_exec.count("BroadcastHashJoin") == PSL_MAX_LABELS - 1, \
-        "PSL probes must be one broadcast join per rule depth (2..max; " \
-        "depth 1 is the default rule)"
+    assert ds_exec.count("BroadcastHashJoin") == psl_probe_count(), \
+        "PSL probes must be one broadcast join per (rule class, depth): " \
+        "plain 2..P, wildcard bases 1..W, exceptions 2..E"
     sections.append((
         "per-domain corpus triage (PSL probes + one bounded-key shuffle)",
         plan_of(ds), ["HashAggregate", "BroadcastHashJoin"],

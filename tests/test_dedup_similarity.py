@@ -1298,6 +1298,63 @@ def test_psl_probe_depth_follows_supplied_table(spark):
     assert got_flat["x.school.pvt.k12.ma.us"] == "ma.us"
 
 
+def test_psl_wildcard_and_exception_rules(spark):
+    """publicsuffix.org wildcard/exception semantics (list_format):
+    '*.ck' makes every single label under ck a public suffix — so
+    'x.b.ck' is registrable as itself and 'b.ck' IS a public suffix —
+    while '!www.ck' carves www.ck back out as a registrable domain
+    (prevailing over the wildcard), for itself AND its subdomains.
+    The packaged snapshot carries the real .ck/.np/.kawasaki.jp rules;
+    the DuckDB twin must agree host-by-host (it is generated from the
+    same tuple and holds the domain_stats driver row to parity)."""
+    import duckdb
+
+    from __spark_entry__ import _psl_domain_sql
+    from rag_pdf_parser_spark.operators.urlfilter import (
+        psl_table,
+        with_registrable_domain,
+    )
+
+    hosts = ["x.b.ck", "b.ck", "ck", "www.ck", "foo.www.ck",
+             "a.com.np", "com.np", "np",
+             "a.b.kawasaki.jp", "b.kawasaki.jp", "kawasaki.jp",
+             "city.kawasaki.jp", "x.city.kawasaki.jp",
+             "a.example.co.uk", "plain.example.com"]
+    expected = {
+        "x.b.ck": "x.b.ck",            # *.ck: b.ck is a public suffix
+        "b.ck": "b.ck",                # host IS a public suffix
+        "ck": "ck",                    # wildcard needs a bound label
+        "www.ck": "www.ck",            # !www.ck: ps=ck, registrable
+        "foo.www.ck": "www.ck",        # exception covers subdomains
+        "a.com.np": "a.com.np",        # *.np
+        "com.np": "com.np",
+        "np": "np",
+        "a.b.kawasaki.jp": "a.b.kawasaki.jp",   # *.kawasaki.jp
+        "b.kawasaki.jp": "b.kawasaki.jp",
+        "kawasaki.jp": "kawasaki.jp",  # too shallow for the wildcard
+        "city.kawasaki.jp": "city.kawasaki.jp",  # exception
+        "x.city.kawasaki.jp": "city.kawasaki.jp",
+        "a.example.co.uk": "example.co.uk",  # plain rules unaffected
+        "plain.example.com": "example.com",
+    }
+    df = spark.createDataFrame([(h,) for h in hosts], "host string")
+    got = {r["host"]: r["domain"]
+           for r in with_registrable_domain(df, "host",
+                                            psl_table(spark)).collect()}
+    assert got == expected, {k: (got[k], expected[k])
+                             for k in expected if got[k] != expected[k]}
+
+    # twin parity: the generated DuckDB expression, same hosts
+    con = duckdb.connect()
+    sql = (f"SELECT host, {_psl_domain_sql('hl')} AS domain FROM "
+           f"(SELECT host, string_split(host, '.') AS hl FROM hosts)")
+    con.execute("CREATE TABLE hosts(host VARCHAR)")
+    con.executemany("INSERT INTO hosts VALUES (?)", [(h,) for h in hosts])
+    duck = dict(con.execute(sql).fetchall())
+    assert duck == expected, {k: (duck[k], expected[k])
+                              for k in expected if duck[k] != expected[k]}
+
+
 def test_blocklist_depth_warning(spark):
     """r5 verdict #9: a blocklist entry DEEPER than MAX_HOST_LABELS can
     only match exactly (the full-host probe), never its subdomains — the
