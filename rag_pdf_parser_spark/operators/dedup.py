@@ -399,6 +399,11 @@ def ngram_jaccard_pairs(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
     profile"). None (default) = every input pair reported, the
     oracle-checked contract.
 
+    NOT a lazy plan builder: the pair-id restriction below eagerly
+    materializes `pairs`' distinct ids at CALL time (a small Spark job) —
+    a load-bearing lineage cut, see the inline comment. Callers that only
+    want to inspect the plan pay that job.
+
     shingle='char' (default, the oracle-checked config): character n-grams
     via index-sequence explode + post-Generate substring (the 37× minhash
     finding applies here too); distinctness via the relational distinct that

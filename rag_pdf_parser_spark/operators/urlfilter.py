@@ -110,18 +110,30 @@ def _psl_rule_classes(entries=PSL_SNAPSHOT
     """Split raw PSL entries into (plain, wildcard-base, exception-base)
     rule lists: '*.ck' → wildcard base 'ck', '!www.ck' → exception base
     'www.ck', everything else plain. Single source for the Spark probes,
-    the generated DuckDB twin, and the probe-count audit."""
-    plain: list[str] = []
-    wc: list[str] = []
-    exc: list[str] = []
+    the generated DuckDB twin, and the probe-count audit.
+
+    Entries are normalized HERE, exactly like `_normalize_entries`
+    (trim spaces, lower, drop empties, dedupe), BEFORE marker detection:
+    classifying raw strings would let a real-list entry with stray
+    whitespace (' *.ck') count as a plain rule in `psl_probe_count` while
+    the executed probes treat it as a wildcard — the audit's join-count
+    assertion and the plan would silently disagree."""
+    plain: set[str] = set()
+    wc: set[str] = set()
+    exc: set[str] = set()
     for s in entries:
+        s = s.strip(" ").lower()
+        if not s:
+            continue
         if s.startswith("!"):
-            exc.append(s[1:])
+            if s[1:]:
+                exc.add(s[1:])
         elif s.startswith("*."):
-            wc.append(s[2:])
+            if s[2:]:
+                wc.add(s[2:])
         else:
-            plain.append(s)
-    return plain, wc, exc
+            plain.add(s)
+    return sorted(plain), sorted(wc), sorted(exc)
 
 
 #: deepest PLAIN rule in the snapshot (3: the *.edu.au state registries)
@@ -293,32 +305,23 @@ def with_registrable_domain(docs: DataFrame, host_col: str,
     → the default rule (ps = 1). `*` is assumed leftmost-only, as in the
     published list.
 
-    Probe depths are derived from the SUPPLIED table (one control-plane
-    aggregate over the tiny broadcast side), not from the packaged
-    snapshot's constants: the documented production path swaps in the
-    full publicsuffix.org list, whose plain rules reach depth 4-5
-    ('pvt.k12.ma.us'), and capping at the snapshot's depth would silently
-    drop those rules and mis-key every host under them."""
-    psl_norm = _normalize_entries(psl, "suffix")
-    # classify each rule once: base = the probe key (wildcard/exception
-    # markers stripped), bd = the base's label depth
-    cls = psl_norm.select(
-        F.when(F.col("suffix").startswith("!"),
-               F.expr("substring(suffix, 2)"))
-        .when(F.col("suffix").startswith("*."),
-              F.expr("substring(suffix, 3)"))
-        .otherwise(F.col("suffix")).alias("base"),
-        F.when(F.col("suffix").startswith("!"), F.lit("exc"))
-        .when(F.col("suffix").startswith("*."), F.lit("wc"))
-        .otherwise(F.lit("plain")).alias("cls"),
-    ).where(F.length("base") > 0).withColumn(
-        "bd", F.size(F.split("base", r"\.")))
-    row = cls.agg(
-        F.max(F.when(F.col("cls") == "plain", F.col("bd"))).alias("p"),
-        F.max(F.when(F.col("cls") == "wc", F.col("bd"))).alias("w"),
-        F.max(F.when(F.col("cls") == "exc", F.col("bd"))).alias("e"),
-    ).first()
-    max_p, max_w, max_e = row["p"] or 1, row["w"] or 0, row["e"] or 0
+    Probe depths and per-depth rule tables are derived from the SUPPLIED
+    table, not from the packaged snapshot's constants: the documented
+    production path swaps in the full publicsuffix.org list, whose plain
+    rules reach depth 4-5 ('pvt.k12.ma.us'), and capping at the
+    snapshot's depth would silently drop those rules and mis-key every
+    host under them. The table is broadcastable-tiny BY CONTRACT (the
+    full list is ~10k rows), so it is collected once per plan build and
+    classified driver-side (`_psl_rule_classes` — the same function the
+    probe-count audit uses, so the two can never disagree); each probe's
+    broadcast side is then a literal local table, costing zero extra
+    subplan executions per probe."""
+    spark = docs.sparkSession
+    raw = [r["suffix"] for r in psl.select("suffix").collect()]
+    plain, wc, exc = _psl_rule_classes(raw)
+    max_p = max((s.count(".") + 1 for s in plain), default=1)
+    max_w = max((s.count(".") + 1 for s in wc), default=0)
+    max_e = max((s.count(".") + 1 for s in exc), default=0)
     out = docs.withColumn("__pl", F.split(F.col(host_col), r"\."))
     n = F.size("__pl")
     # (marker, key-depth, rule-class) probe specs; plain depth 1 and
@@ -330,15 +333,16 @@ def with_registrable_domain(docs: DataFrame, host_col: str,
         + [(f"__wc{b}", b, "wc") for b in range(1, max_w + 1)]
         + [(f"__exc{d}", d, "exc") for d in range(2, max_e + 1)]
     )
+    by_class = {"plain": plain, "wc": wc, "exc": exc}
     key_cols: dict[int, str] = {}
     for marker, j, rcls in probes:
         if j not in key_cols:
             key_cols[j] = f"__k{j}"
             out = out.withColumn(
                 f"__k{j}", _suffix_key_expr(F.col("__pl"), n, j))
-        rules_j = cls.where(
-            (F.col("cls") == rcls) & (F.col("bd") == j)
-        ).select(F.col("base").alias(marker))
+        rules_j = spark.createDataFrame(
+            [(s,) for s in by_class[rcls] if s.count(".") + 1 == j],
+            f"{marker} string")
         out = out.join(F.broadcast(rules_j),
                        out[key_cols[j]] == rules_j[marker], "left")
     normal_hits = (
