@@ -142,17 +142,43 @@ PSL_MAX_LABELS = max(s.count(".") + 1
                      if not s.startswith(("!", "*.")))
 
 
+def _psl_probe_specs(entries=PSL_SNAPSHOT
+                     ) -> list[tuple[str, int, str, list[str]]]:
+    """(marker, key-depth, class, rules) for every POPULATED (class, depth)
+    probe `with_registrable_domain` makes: plain rules at depths ≥ 2
+    (depth 1 IS the default rule), wildcard bases at their own depth
+    (≥ 1), exception bases at depths ≥ 2 (a depth-1 exception would mean
+    ps = 0). Only populated combos are probed — an empty broadcast side
+    would be folded out of the physical plan by PropagateEmptyRelation
+    anyway, so probing it would silently desynchronize the audit's
+    join-count assertion on any rule set with a depth gap (the full
+    publicsuffix.org list has them)."""
+    plain, wc, exc = _psl_rule_classes(entries)
+
+    def by_depth(rules: list[str], lo: int) -> dict[int, list[str]]:
+        d: dict[int, list[str]] = {}
+        for s in rules:
+            j = s.count(".") + 1
+            if j >= lo:
+                d.setdefault(j, []).append(s)
+        return d
+
+    return (
+        [(f"__psl{j}", j, "plain", v)
+         for j, v in sorted(by_depth(plain, 2).items())]
+        + [(f"__wc{b}", b, "wc", v)
+           for b, v in sorted(by_depth(wc, 1).items())]
+        + [(f"__exc{d}", d, "exc", v)
+           for d, v in sorted(by_depth(exc, 2).items())]
+    )
+
+
 def psl_probe_count(entries=PSL_SNAPSHOT) -> int:
     """How many per-depth broadcast probes `with_registrable_domain`
-    makes for this rule set: plain depths 2..P, wildcard-base depths
-    1..W, exception depths 2..E (each loop probes EVERY depth up to its
-    class maximum — empty depths join an empty broadcast). The plan
-    audit asserts the executed BroadcastHashJoin count equals this."""
-    plain, wc, exc = _psl_rule_classes(entries)
-    p = max((s.count(".") + 1 for s in plain), default=1)
-    w = max((s.count(".") + 1 for s in wc), default=0)
-    e = max((s.count(".") + 1 for s in exc), default=0)
-    return max(p - 1, 0) + w + max(e - 1, 0)
+    makes for this rule set — one per populated (class, depth) combo
+    (`_psl_probe_specs`). The plan audit asserts the executed
+    BroadcastHashJoin count equals this."""
+    return len(_psl_probe_specs(entries))
 
 
 def url_host_expr(url: Column) -> Column:
@@ -318,43 +344,40 @@ def with_registrable_domain(docs: DataFrame, host_col: str,
     subplan executions per probe."""
     spark = docs.sparkSession
     raw = [r["suffix"] for r in psl.select("suffix").collect()]
-    plain, wc, exc = _psl_rule_classes(raw)
-    max_p = max((s.count(".") + 1 for s in plain), default=1)
-    max_w = max((s.count(".") + 1 for s in wc), default=0)
-    max_e = max((s.count(".") + 1 for s in exc), default=0)
-    out = docs.withColumn("__pl", F.split(F.col(host_col), r"\."))
+    probes = _psl_probe_specs(raw)
+    # normalize the HOST side to the rule side's casing/hygiene (lower +
+    # trim + strip trailing dots — the same cleanup url_host_expr applies):
+    # the contract is any host_col, and a raw-manifest 'Example.CO.UK'
+    # would otherwise miss every lowercased rule and silently fall through
+    # to the default 2-label cut — exactly the ccTLD misattribution this
+    # function exists to fix. The reported domain is therefore lowercase.
+    host = F.regexp_replace(F.lower(F.trim(F.col(host_col))),
+                            r"\.+$", "")
+    out = docs.withColumn("__pl", F.split(host, r"\."))
     n = F.size("__pl")
-    # (marker, key-depth, rule-class) probe specs; plain depth 1 and
-    # exception depth 1 are never probed (a single-label plain rule IS
-    # the default rule; a depth-1 exception would mean ps = 0), wildcard
-    # bases ARE probed at depth 1 ('*.ck' base 'ck')
-    probes = (
-        [(f"__psl{j}", j, "plain") for j in range(2, max_p + 1)]
-        + [(f"__wc{b}", b, "wc") for b in range(1, max_w + 1)]
-        + [(f"__exc{d}", d, "exc") for d in range(2, max_e + 1)]
-    )
-    by_class = {"plain": plain, "wc": wc, "exc": exc}
+    # one probe per POPULATED (class, depth) — `_psl_probe_specs` is the
+    # same function the plan audit's probe count comes from, so the
+    # executed join count and the assertion can never disagree
     key_cols: dict[int, str] = {}
-    for marker, j, rcls in probes:
+    for marker, j, _rcls, rules in probes:
         if j not in key_cols:
             key_cols[j] = f"__k{j}"
             out = out.withColumn(
                 f"__k{j}", _suffix_key_expr(F.col("__pl"), n, j))
-        rules_j = spark.createDataFrame(
-            [(s,) for s in by_class[rcls] if s.count(".") + 1 == j],
-            f"{marker} string")
+        rules_j = spark.createDataFrame([(s,) for s in rules],
+                                        f"{marker} string")
         out = out.join(F.broadcast(rules_j),
                        out[key_cols[j]] == rules_j[marker], "left")
     normal_hits = (
         [F.when(F.col(m).isNotNull(), F.lit(j))
-         for m, j, c in probes if c == "plain"]
+         for m, j, c, _ in probes if c == "plain"]
         + [F.when(F.col(m).isNotNull() & (n >= b + 1), F.lit(b + 1))
-           for m, b, c in probes if c == "wc"]
+           for m, b, c, _ in probes if c == "wc"]
     )
     ps_normal = (F.greatest(*reversed(normal_hits), F.lit(1))
                  if normal_hits else F.lit(1))
     exc_hits = [F.when(F.col(m).isNotNull(), F.lit(d - 1))
-                for m, d, c in probes if c == "exc"]
+                for m, d, c, _ in probes if c == "exc"]
     if not exc_hits:
         ps = ps_normal
     elif len(exc_hits) == 1:
@@ -365,7 +388,7 @@ def with_registrable_domain(docs: DataFrame, host_col: str,
         F.slice(F.col("__pl"), F.greatest(n - ps, F.lit(1)), ps + F.lit(1)),
         ".")
     return out.withColumn(out_col, dom).drop(
-        "__pl", *key_cols.values(), *[m for m, _, _ in probes])
+        "__pl", *key_cols.values(), *[m for m, _, _, _ in probes])
 
 
 def domain_stats(docs: DataFrame, url_col: str = "url",

@@ -76,14 +76,22 @@ def with_text_gate_flags(docs: DataFrame,
 
 
 def flag_corpus(docs: DataFrame, blocked_hosts: DataFrame | None = None,
-                url_col: str = "url", text_col: str = "text") -> DataFrame:
+                url_col: str = "url", text_col: str = "text",
+                validate: bool = True) -> DataFrame:
     """docs + the four gate flags (url_ok, gopher_keep, repetition_keep,
     model_keep) + pass_all. Nothing is dropped — the auditable form (a
     manifest can record WHY each doc would fall); `curate_corpus` applies
-    the drops."""
+    the drops.
+
+    `validate=False` skips `filter_urls`' load-time blocklist validation
+    (one tiny eager job + possible deep-entry warning per call) — pass it
+    when building the gate repeatedly over an already-validated blocklist
+    (a daily increment loop); threaded here because the composed entry
+    points are the ones called in loops."""
     out = docs
     if url_col in docs.columns:
-        out = filter_urls(out, blocked_hosts, url_col=url_col) \
+        out = filter_urls(out, blocked_hosts, url_col=url_col,
+                          validate=validate) \
             .withColumn("url_ok", ~F.col("url_blocked")) \
             .drop("url_blocked", "block_reason")
     else:
@@ -147,10 +155,13 @@ def curation_funnel(flagged: DataFrame) -> dict:
 def curate_corpus(docs: DataFrame, blocked_hosts: DataFrame | None = None,
                   id_col: str = "doc_id", url_col: str = "url",
                   text_col: str = "text", dedup: bool = True,
-                  jaccard_threshold: float = 0.8) -> DataFrame:
+                  jaccard_threshold: float = 0.8,
+                  validate: bool = True) -> DataFrame:
     """The full curation: gate flags → filter to pass_all → near-dedup.
-    Returns the curated corpus with the original columns."""
-    flagged = flag_corpus(docs, blocked_hosts, url_col, text_col)
+    Returns the curated corpus with the original columns. `validate` —
+    see flag_corpus."""
+    flagged = flag_corpus(docs, blocked_hosts, url_col, text_col,
+                          validate=validate)
     kept = flagged.where(F.col("pass_all")).select(*docs.columns)
     if not dedup:
         return kept
@@ -167,7 +178,8 @@ def curate_corpus_incremental(increment: DataFrame, store_dir: str,
                               n: int = 5, num_perm: int = 32, bands: int = 8,
                               shingle: str = "char",
                               max_bucket: int | None = 10_000,
-                              store_partitions: int | None = None
+                              store_partitions: int | None = None,
+                              validate: bool = True
                               ) -> tuple[DataFrame, dict]:
     """The DAILY-INCREMENT production entrypoint: gate flags (tokenize-once
     pass) → sequential funnel accounting → pass_all filter → incremental
@@ -198,7 +210,8 @@ def curate_corpus_incremental(increment: DataFrame, store_dir: str,
     split (r5 verdict #6; sums stayed exact, labels didn't)."""
     from ..operators.dedup import dedup_corpus_incremental
 
-    flagged = flag_corpus(increment, blocked_hosts, url_col, text_col) \
+    flagged = flag_corpus(increment, blocked_hosts, url_col, text_col,
+                          validate=validate) \
         .localCheckpoint(eager=True)
     funnel = curation_funnel(flagged)
     kept = flagged.where(F.col("pass_all")).select(*increment.columns)

@@ -102,6 +102,7 @@ class ExtractionPipeline:
             with_chunks: bool = True, fmt: str = "parquet",
             dedupe: bool = False,
             url_blocklist: DataFrame | None = None,
+            url_blocklist_validate: bool = True,
             curate: bool = False) -> dict:
         """`fmt='json'` mirrors the reference's JSONL sinks (K2/K3,
         writer.py:110-165) — same rows, line-delimited; parquet is the
@@ -254,7 +255,12 @@ class ExtractionPipeline:
         if url_blocklist is not None:
             from ..operators.urlfilter import filter_urls
 
-            flagged = filter_urls(todo, url_blocklist)
+            # url_blocklist_validate=False skips the per-run load-time
+            # blocklist check (one tiny eager job + repeated deep-entry
+            # warning) — for resume loops re-running an already-validated
+            # list
+            flagged = filter_urls(todo, url_blocklist,
+                                  validate=url_blocklist_validate)
             # checkpointed for the same reason as docs_m below: its plan
             # reads the manifest (resume anti-join) that the commit below
             # mutates, and it feeds both the manifest union and the count

@@ -1297,6 +1297,49 @@ def test_psl_probe_depth_follows_supplied_table(spark):
     assert got_flat["plain.example.com"] == "example.com"
     assert got_flat["x.school.pvt.k12.ma.us"] == "ma.us"
 
+    # depth-GAP rule set (plain rules at depths 2 and 4, none at 3):
+    # only populated (class, depth) combos are probed, and the executed
+    # BroadcastHashJoin count must equal psl_probe_count for THIS table —
+    # an empty-depth probe would be folded out by PropagateEmptyRelation
+    # and silently desynchronize the audit's assertion
+    from rag_pdf_parser_spark.operators.urlfilter import psl_probe_count
+
+    gap_rules = ["co.uk", "pvt.k12.ma.us"]
+    gap = spark.createDataFrame([(s,) for s in gap_rules], "suffix string")
+    gapped = with_registrable_domain(hosts, "host", gap)
+    got_gap = {r["host"]: r["domain"] for r in gapped.collect()}
+    assert got_gap["x.school.pvt.k12.ma.us"] == "school.pvt.k12.ma.us"
+    assert got_gap["a.example.co.uk"] == "example.co.uk"
+    # after an action, AdaptiveSparkPlan.toString prints BOTH the final
+    # and the initial plan — count the final section only
+    plan = gapped._jdf.queryExecution().executedPlan().toString() \
+        .split("== Initial Plan ==")[0]
+    n_bhj = plan.count("BroadcastHashJoin")
+    assert n_bhj == psl_probe_count(gap_rules) == 2, n_bhj
+
+
+def test_psl_host_side_normalized(spark):
+    """The rule side is lower/trimmed, so the host side must be too: a
+    raw-manifest 'Example.CO.UK' (or a trailing-dot FQDN) would otherwise
+    miss every rule and silently fall through to the default cut — the
+    exact ccTLD misattribution the PSL path exists to fix. The reported
+    domain is canonical lowercase."""
+    from rag_pdf_parser_spark.operators.urlfilter import (
+        psl_table,
+        with_registrable_domain,
+    )
+
+    hosts = spark.createDataFrame(
+        [("Example.CO.UK",), (" b.example.co.uk ",),
+         ("example.co.uk.",), ("FOO.WWW.CK",)], "host string")
+    got = {r["host"]: r["domain"]
+           for r in with_registrable_domain(hosts, "host",
+                                            psl_table(spark)).collect()}
+    assert got["Example.CO.UK"] == "example.co.uk"
+    assert got[" b.example.co.uk "] == "example.co.uk"
+    assert got["example.co.uk."] == "example.co.uk"
+    assert got["FOO.WWW.CK"] == "www.ck"
+
 
 def test_psl_wildcard_and_exception_rules(spark):
     """publicsuffix.org wildcard/exception semantics (list_format):
@@ -1384,6 +1427,18 @@ def test_blocklist_depth_warning(spark):
         filter_urls(docs, spark.createDataFrame([("ok.example",)],
                                                 "host string")).collect()
     assert not [w for w in caught if "subdomains" in str(w.message)]
+    # the validate=False escape hatch must be reachable from the composed
+    # entry points (review finding: a daily increment loop re-validated
+    # and re-warned per batch) — flag_corpus threads it through
+    from rag_pdf_parser_spark.plans.curate import flag_corpus
+
+    docs_t = docs.withColumn("text", F.lit("some words here"))
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        flag_corpus(docs_t, blocked, validate=False).collect()
+    assert not [w for w in caught if "subdomains" in str(w.message)]
+    with pytest.warns(UserWarning, match="never their subdomains"):
+        flag_corpus(docs_t, blocked).collect()  # default still validates
 
 
 def test_incremental_refuses_lost_canon(spark, tmp_path):
