@@ -405,60 +405,85 @@ def ngram_jaccard_pairs(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
     want to inspect the plan pay that job.
 
     shingle='char' (default, the oracle-checked config): character n-grams
-    via index-sequence explode + post-Generate substring (the 37× minhash
-    finding applies here too); distinctness via the relational distinct that
-    was already needed.
+    as per-doc DISTINCT STRING arrays (no 64-bit hashing — a hash
+    collision would change the exact count the DuckDB oracle checks).
     shingle='word': TOKEN n-grams — the similarity space that word-shingle
     MinHash-LSH approximates, so a word-config `dedup_corpus` verifies in
     the same space its candidates came from (r4 ADVICE finding: verifying
     word-LSH candidates with char-gram Jaccard thresholds a different
     metric). Gram construction is identical to `minhash_signature`'s word/xx
-    path (zip-shift fold, empty doc → one ''-shingle): each gram is hashed
-    to int64 IN the row projection and the longs are exploded — set sizes
-    and intersections over the hashes equal those over the grams up to
-    64-bit collisions, and the Generate never copies gram strings."""
+    path (zip-shift fold, empty doc → one ''-shingle, grams hashed to
+    int64 — set sizes and intersections over the hashes equal those over
+    the grams up to 64-bit collisions).
+
+    Shape (r7 rewrite, guide §2.3/§2.4 — shuffle fewer bytes / remove the
+    fan-out shuffle): the former formulation exploded every candidate
+    doc's grams and computed |A∩B| with a pairs⨝grams equi-join — the
+    joined row count was Σ_pairs(|A|+|B|) (64M rows at sf0.1), all of it
+    shuffled on (id_b, gram). Now each candidate doc carries ONE row with
+    its sorted-free distinct-gram ARRAY; pairs pick up both arrays via
+    two small joins (AQE broadcasts the materialized gram table when it
+    fits) and |A∩B| = size(array_intersect(...)) is computed IN-ROW by
+    codegen — per-pair cost is the same O(|A|+|B|) hash-set build, but no
+    64M-row exchange exists at all. Measured at sf0.1 (212k surviving
+    pairs): verify stage 27.9 → ~3 s. Per-row memory is O(doc grams),
+    bounded by the pipeline's MAX_HTML_BYTES-capped doc sizes."""
     if shingle not in ("char", "word"):
         raise ValueError(f"shingle must be 'char' or 'word', got {shingle!r}")
     # restrict the doc side to ids appearing in SOME candidate pair before
     # any text work: a doc in no pair cannot reach the output (every
     # downstream join is inner on pair ids), and at corpus scale the
     # candidate docs are a vanishing fraction of the input — without this
-    # the gram explode fans out the WHOLE corpus three times (size table +
-    # both intersection sides) only for the pair joins to drop it.
-    # localCheckpoint is LOAD-BEARING, not an optimization: without it the
-    # semi-join splices the caller's ENTIRE candidate-generation plan
-    # (MinHash signatures + band self-join in dedup_corpus) into the doc
-    # side's lineage, and every re-execution of the gram explode (size
-    # table, both intersection sides) re-runs that plan — measured 1.5×
-    # SLOWER end-to-end than no prefilter at sf0.1. ids is bounded by
-    # |docs| (distinct doc ids), so the materialization is tiny.
+    # the gram-array build runs over the WHOLE corpus only for the pair
+    # joins to drop it. localCheckpoint is LOAD-BEARING, not an
+    # optimization: without it the semi-join splices the caller's ENTIRE
+    # candidate-generation plan (MinHash signatures + band self-join in
+    # dedup_corpus) into the doc side's lineage (measured 1.5× slower
+    # end-to-end in r6). ids is bounded by |docs|, so it is tiny.
     ids = (pairs.select(F.col("id_a").alias(id_col))
            .unionByName(pairs.select(F.col("id_b").alias(id_col)))
            .distinct().localCheckpoint(eager=True))
+    # spread the per-pair work across the cluster BEFORE the heavy phase:
+    # candidate-pair lists arrive from materialization points whose
+    # partitioning reflects their (tiny) byte size, not their CPU cost —
+    # AQE's byte-based coalescing leaves a 460k-pair verify on 1-3 tasks
+    # (measured at sf0.1: the whole verify ran on ONE core). Hash-spread
+    # by the pair key at the session's shuffle-partition width (the
+    # scale-config knob); the shuffle itself is a few bytes per pair.
+    # Explicit-N repartition so AQE cannot re-coalesce it (guide §2.5:
+    # under-parallel input → repartition right after it).
+    n_spread = int(pairs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    pairs = pairs.repartition(n_spread, "id_a", "id_b")
     pre = df.join(ids, id_col, "left_semi").select(
         F.col(id_col).alias("id"),
         normalized_text_expr(F.col(text_col)).alias("__t"))
     if shingle == "word":
         grams = token_ngrams_expr(F.col("__t"), n, pre_normalized=True)
-        sh = pre.select(
-            "id",
-            F.explode_outer(F.transform(grams, lambda g: F.xxhash64(g)))
-            .alias("__gh0"),
-        ).select(
-            "id",
-            F.coalesce(F.col("__gh0"), F.xxhash64(F.lit(""))).alias("g"),
-        ).distinct()
+        raw = F.transform(grams, lambda g: F.xxhash64(g))
     else:
         idx = F.sequence(F.lit(1),
                          F.greatest(F.length("__t") - (n - 1), F.lit(1)))
-        sh = pre.select("id", "__t", F.explode(idx).alias("__i")).select(
-            "id", F.substring(F.col("__t"), F.col("__i"), F.lit(n)).alias("g")
-        ).distinct()
-    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
+        raw = F.transform(idx, lambda i: F.col("__t").substr(i, F.lit(n)))
+    # materialized ONCE (one row per candidate doc, a few KB each): the
+    # pair joins below reference it twice (id_a / id_b sides) and the
+    # prefilter twice more — without the checkpoint each reference
+    # re-runs the semi-join + normalize + gram build, and AQE would not
+    # see the (small) true size that lets it pick broadcast joins.
+    gtab = pre.select("id", F.array_distinct(raw).alias("__gs0")) \
+        .localCheckpoint(eager=True)
+    if shingle == "word":
+        # empty doc → one ''-shingle, exactly like the explode_outer +
+        # coalesce of minhash_signature. Applied ON TOP of the
+        # materialized column so the conditional's double reference
+        # cannot duplicate the gram-build expression (the r4
+        # CollapseProject finding).
+        gs = F.when(F.size("__gs0") > 0, F.col("__gs0")) \
+            .otherwise(F.array(F.xxhash64(F.lit(""))))
+    else:
+        gs = F.col("__gs0")
+    gtab = gtab.select("id", gs.alias("__gs"))
+    sizes = gtab.select("id", F.size("__gs").alias("sz"))
     if min_jaccard is not None:
-        # tiny table (one row per doc) — checkpoint so the prefilter join
-        # and the final size joins don't each re-run the gram explode
-        sizes = sizes.localCheckpoint(eager=True)
         pairs = (
             pairs.join(sizes.select(F.col("id").alias("id_a"),
                                     F.col("sz").alias("__sa")), "id_a")
@@ -473,30 +498,24 @@ def ngram_jaccard_pairs(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
                 F.col("__sa"), F.col("__sb"), min_jaccard))
             .select("id_a", "id_b")
         )
-    a = sh.select(F.col("id").alias("id_a"), "g")
-    b = sh.select(F.col("id").alias("id_b"), F.col("g"))
-    inter_counts = (
-        pairs.join(a, "id_a").join(b, ["id_b", "g"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("n_inter"))
-    )
-    # left join back so disjoint pairs report jaccard = 0, not absence
-    inter = pairs.join(inter_counts, ["id_a", "id_b"], "left").withColumn(
-        "n_inter", F.coalesce("n_inter", F.lit(0))
-    )
-    return (
-        inter.join(sizes.withColumnRenamed("id", "id_a")
-                   .withColumnRenamed("sz", "sz_a"), "id_a")
-        .join(sizes.withColumnRenamed("id", "id_b")
-              .withColumnRenamed("sz", "sz_b"), "id_b")
+    ga = gtab.select(F.col("id").alias("id_a"), F.col("__gs").alias("__ga"))
+    gb = gtab.select(F.col("id").alias("id_b"), F.col("__gs").alias("__gb"))
+    # two-step projection: __ni is referenced twice by the jaccard
+    # formula, and size(array_intersect) is non-cheap — staging it as an
+    # attribute keeps CollapseProject from inlining (and thus evaluating)
+    # the intersection twice per row (the repetition-chain staging rule).
+    staged = (
+        pairs.join(ga, "id_a").join(gb, "id_b")
         .select(
             "id_a", "id_b",
-            F.round(
-                F.col("n_inter")
-                / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter")),
-                6,
-            ).alias("jaccard"),
+            F.size(F.array_intersect("__ga", "__gb")).alias("__ni"),
+            (F.size("__ga") + F.size("__gb")).alias("__sab"),
         )
+    )
+    return staged.select(
+        "id_a", "id_b",
+        F.round(F.col("__ni") / (F.col("__sab") - F.col("__ni")), 6)
+        .alias("jaccard"),
     )
 
 
@@ -560,7 +579,8 @@ def dedup_lines_corpus(docs: DataFrame, text_col: str = "text",
 
 def connected_components(pairs: DataFrame, id_a: str = "id_a",
                          id_b: str = "id_b",
-                         max_iter: int = 20) -> DataFrame:
+                         max_iter: int = 20,
+                         driver_edges: int = 200_000) -> DataFrame:
     """Connected components over a near-duplicate pair list → (id,
     component) with component = MIN node id in the cluster. The tail stage
     of every dedup pipeline: LSH/phash emit PAIRS, but dropping duplicates
@@ -577,7 +597,51 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
     At 10^12 scale each round is one shuffle of |E| on node id; for very
     large graphs swap in alternating large-star/small-star (Kiveris et al.
     2014) — same join primitive, fewer rounds on long chains.
+
+    `driver_edges` (r7): SMALL-GRAPH FAST PATH. Near-dup pair lists are
+    usually tiny next to the corpus (a few true pairs per thousand docs),
+    and each propagation round of the loop costs a join + shuffle +
+    localCheckpoint + a count job — pure scheduling overhead when |E| is
+    small (measured ~2 s for a 241-edge graph at sf0.1). When a BOUNDED
+    probe (`limit(driver_edges+1).count()` — never an unbounded collect)
+    shows the edge list fits, solve with a driver-side union-find instead:
+    identical min-label output (union-find tracks the min id per root;
+    Python's str ordering equals Spark's UTF8 binary ordering because
+    UTF-8 preserves code-point order), bounded memory (~50 B/edge, ≤10 MB
+    at the default). 0 disables (always distribute); at corpus scale a
+    big pair list simply exceeds the bound and takes the loop.
     """
+    ne = pairs.limit(driver_edges + 1).count() if driver_edges else None
+    if ne is not None and ne <= driver_edges:
+        rows = pairs.select(F.col(id_a).alias("a"),
+                            F.col(id_b).alias("b")).collect()
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:
+                parent[x], x = r, parent[x]
+            return r
+
+        for r in rows:
+            a, b = r["a"], r["b"]
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                # union by min: the min id becomes the root, so the root
+                # IS the component label (same semantics as the loop)
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+        out = [(x, find(x)) for x in parent]
+        spark = pairs.sparkSession
+        f = pairs.schema[id_a]
+        from pyspark.sql.types import StructField, StructType
+        schema = StructType([StructField("id", f.dataType, f.nullable),
+                             StructField("comp", f.dataType, f.nullable)])
+        return spark.createDataFrame(out, schema)
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
@@ -694,7 +758,17 @@ def dedup_corpus(docs: DataFrame, id_col: str = "doc_id",
     would otherwise execute four times. On a real cluster use persist
     (DISK) or a staging table at this point.
     """
+    # The materialization is REPARTITIONED by id at the session's
+    # shuffle-partition width (the scale knob) — a production staging
+    # table bucketed by id. Without it the checkpoint inherits the
+    # byte-coalesced partitioning of the exact-dedup aggregate (ONE
+    # partition at sf0.1 — single-file scan + AQE byte-based coalescing),
+    # and every CPU-heavy consumer below (signature Generate + hashing ×2
+    # for the LSH self-join, the verify gram build) runs single-core
+    # (guide §2.5: under-parallel input → repartition right after it).
+    n_spread = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     out = exact_dedup(docs, text_col, id_col).drop("content_sha") \
+        .repartition(n_spread, id_col) \
         .localCheckpoint(eager=True)
     # materialize the candidate pairs: the verify stage references them
     # four times (pair-id restriction, size prefilter, intersection count,
@@ -949,7 +1023,12 @@ def _dedup_corpus_incremental_locked(spark, increment, store_dir, canon_dir,
     # step 4: orphan bucket rows are inert; canon rows without index
     # entries would silently admit every future near-dup of them)
     write_store_meta(store_dir, n_parts, extra=cfg)
+    # repartition by bp before the partitioned write: a W-partition
+    # DataFrame written partitionBy("bp") emits up to W×n_parts files per
+    # append (guide §6 small-files — every future pruned read pays the
+    # listing+open cost). Keyed by bp the append writes ≤ n_parts files.
     (admitted_buckets.select("band", "bucket", "id", "bp")
+     .repartition(n_parts, "bp")
      .write.mode("append").partitionBy("bp").parquet(store_dir))
     admitted.write.mode("append").parquet(canon_dir)
     return admitted

@@ -122,6 +122,11 @@ def _psl_rule_classes(entries=PSL_SNAPSHOT
     wc: set[str] = set()
     exc: set[str] = set()
     for s in entries:
+        # `if not s` also guards None entries (a file-loaded PSL can
+        # plausibly yield NULL rows, e.g. from a CSV read) — strip() on
+        # None would otherwise crash the driver-side collect opaquely
+        if not s:
+            continue
         s = s.strip(" ").lower()
         if not s:
             continue

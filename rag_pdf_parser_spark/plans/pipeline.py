@@ -145,7 +145,8 @@ class ExtractionPipeline:
 
         with WriterLease(self.out_dir, self.lease_stale_sec) as lease:
             return self._run(pages, run_id, with_chunks, fmt, dedupe,
-                             url_blocklist, lease, curate)
+                             url_blocklist, lease, curate,
+                             url_blocklist_validate=url_blocklist_validate)
 
     # -- commit protocol -------------------------------------------------------
     def committed_batch_ids(self) -> list[str]:
@@ -237,7 +238,8 @@ class ExtractionPipeline:
     def _run(self, pages: DataFrame, run_id: str,
              with_chunks: bool, fmt: str, dedupe: bool = False,
              url_blocklist: DataFrame | None = None,
-             lease=None, curate: bool = False) -> dict:
+             lease=None, curate: bool = False,
+             url_blocklist_validate: bool = True) -> dict:
         todo = self.pending(pages)
         batch_id = f"{run_id}-{uuid.uuid4().hex[:12]}"
         if dedupe:

@@ -241,13 +241,13 @@ def main() -> None:
     # per-domain triage: pure-projection flags + per-depth PSL broadcast
     # probes (r6 — registrable domains are PSL longest-match now) + ONE
     # bounded-key CORPUS shuffle (partial agg map-side), no Generate. The
-    # only other exchanges permitted are on the tiny PSL build side
-    # (suffix normalization distinct), never the corpus.
+    # since the PSL table is collected and classified driver-side
+    # (2c25e0f) no suffix-side Exchange can appear in the plan — assert
+    # exactly one Exchange overall (the domain-key aggregate).
     ds = E.q_domain_stats(spark, SF)
     ds_exec = ds._jdf.queryExecution().executedPlan().toString()
     corpus_ex = [ln for ln in ds_exec.splitlines()
-                 if "Exchange hashpartitioning" in ln
-                 and "suffix#" not in ln]
+                 if "Exchange hashpartitioning" in ln]
     assert len(corpus_ex) == 1, \
         f"domain stats must shuffle the corpus exactly once (domain key); " \
         f"saw {corpus_ex}"

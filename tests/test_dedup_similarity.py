@@ -342,9 +342,37 @@ def test_connected_components_chain_converges(spark):
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(11)] + [(20, 21)],
         "id_a long, id_b long")
-    comp = {r["id"]: r["comp"] for r in connected_components(pairs).collect()}
+    # driver_edges=0 pins the DISTRIBUTED loop (the r7 small-graph
+    # fast path would otherwise absorb a 12-edge graph)
+    comp = {r["id"]: r["comp"]
+            for r in connected_components(pairs, driver_edges=0).collect()}
     assert all(comp[i] == 0 for i in range(12)), comp
     assert comp[20] == comp[21] == 20, comp
+
+
+def test_connected_components_fast_path_matches_loop(spark):
+    """r7: the driver-side union-find fast path must produce EXACTLY the
+    distributed loop's labels — same rows, same min-label components —
+    on a graph with chains, a star, duplicates, self-pairs and an
+    isolated pair."""
+    from rag_pdf_parser_spark.operators.dedup import connected_components
+
+    edges = ([(i, i + 1) for i in range(9)]          # chain 0..9
+             + [(50, 60), (50, 70), (50, 80)]        # star
+             + [(3, 2), (2, 3), (7, 7)]              # dups + self-pair
+             + [(100, 101)])
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    fast = sorted(map(tuple, connected_components(pairs).collect()))
+    loop = sorted(map(tuple,
+                      connected_components(pairs, driver_edges=0).collect()))
+    assert fast == loop
+    # string ids too (UTF8 vs Python ordering must agree)
+    spairs = spark.createDataFrame(
+        [("d2", "d1"), ("d1", "d0"), ("x", "y")], "id_a string, id_b string")
+    fast_s = sorted(map(tuple, connected_components(spairs).collect()))
+    loop_s = sorted(map(tuple,
+                        connected_components(spairs, driver_edges=0).collect()))
+    assert fast_s == loop_s
 
 
 def test_decontaminate_respects_n(spark):
