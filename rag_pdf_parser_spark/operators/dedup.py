@@ -118,6 +118,12 @@ def minhash_signature(df: DataFrame, text_col: str = "text", n: int = 5,
     #   nearly free next to the Generate.
     if shingle not in ("char", "word"):
         raise ValueError(f"shingle must be 'char' or 'word', got {shingle!r}")
+    # the shingle Generate + k-hash min-agg is CPU-bound, not byte-bound:
+    # spread a pathologically under-parallel input (single-row-group
+    # file ⇒ one scan task) before it — no-op at scan scale (spread.py)
+    from .spread import ensure_parallelism
+
+    df = ensure_parallelism(df)
     id_cols = [c for c in df.columns if c != text_col] or [text_col]
     pre = df.select(*id_cols,
                     normalized_text_expr(F.col(text_col)).alias("__t"))
@@ -544,6 +550,9 @@ def dedup_lines_corpus(docs: DataFrame, text_col: str = "text",
     groupBy). Same contract-documentation discipline as asof_join's
     tiebreak (SURVEY §7.4.1).
     """
+    # NOTE (r7): deliberately NOT ensure_parallelism-guarded — the line
+    # split/posexplode is byte-cheap next to the gram folds, and the
+    # added repartition measured a net LOSS at sf0.1 (0.77 → 1.22 s).
     lines = docs.select(
         F.col(id_col).alias("__id"),
         F.posexplode(F.split(F.col(text_col), "\n", -1)).alias("__pos", "__line"),
@@ -1064,6 +1073,11 @@ def decontaminate_flags(docs: DataFrame, benchmark_grams: DataFrame,
     (13-gram strings), and long equality beats string equality in the
     join hash table either way.
     """
+    from .spread import ensure_parallelism
+
+    # the 13-gram fold + explode is CPU-bound (measured 3.0 → 0.6 s at
+    # sf0.1 once spread) — guard against single-task scans (spread.py)
+    docs = ensure_parallelism(docs)
     if hashed:
         gh = F.transform(token_ngrams_expr(F.col(text_col), n),
                          lambda g: F.xxhash64(g))

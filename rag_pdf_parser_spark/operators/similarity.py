@@ -31,10 +31,15 @@ from ..functions import cosine_expr
 def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
                      id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """Exact cosine top-k per query. Queries broadcast (small side)."""
+    from .spread import ensure_parallelism
+
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
     )
-    c = corpus.select(F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cv"))
+    # per-(candidate, query) cosine is CPU-bound — spread a single-task
+    # corpus scan before the broadcast cross-join (no-op at scan scale)
+    c = ensure_parallelism(corpus).select(
+        F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cv"))
     scored = (
         c.crossJoin(F.broadcast(q))
         .where(F.col("cand_id") != F.col("query_id"))

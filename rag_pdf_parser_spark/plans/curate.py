@@ -55,6 +55,13 @@ def with_text_gate_flags(docs: DataFrame,
     the same text — lower() never creates or destroys ASCII whitespace),
     and the staged gram chain (__g2 feeds gopher's bigram stat AND the
     quality model's features; __g2..__g10 feed the repetition family)."""
+    from ..operators.spread import ensure_parallelism
+
+    # three tokenize-once gate families are pure per-row CPU — spread a
+    # single-task input scan first (measured 4.3 → 1.5 s at sf0.1);
+    # structural no-op on well-partitioned inputs (the pipeline's salted
+    # extraction output, any real corpus scan)
+    docs = ensure_parallelism(docs)
     orig = list(docs.columns)
     safe = F.coalesce(F.col(text_col), F.lit(""))
     out = docs.withColumn(
