@@ -405,9 +405,9 @@ def ngram_jaccard_pairs(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
     profile"). None (default) = every input pair reported, the
     oracle-checked contract.
 
-    NOT a lazy plan builder: the pair-id restriction below eagerly
-    materializes `pairs`' distinct ids at CALL time (a small Spark job) —
-    a load-bearing lineage cut, see the inline comment. Callers that only
+    NOT a lazy plan builder: the candidate docs' gram-array table is
+    eagerly materialized at CALL time (one small Spark job — a
+    load-bearing lineage cut, see the inline comment). Callers that only
     want to inspect the plan pay that job.
 
     shingle='char' (default, the oracle-checked config): character n-grams
@@ -441,14 +441,14 @@ def ngram_jaccard_pairs(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
     # downstream join is inner on pair ids), and at corpus scale the
     # candidate docs are a vanishing fraction of the input — without this
     # the gram-array build runs over the WHOLE corpus only for the pair
-    # joins to drop it. localCheckpoint is LOAD-BEARING, not an
-    # optimization: without it the semi-join splices the caller's ENTIRE
-    # candidate-generation plan (MinHash signatures + band self-join in
-    # dedup_corpus) into the doc side's lineage (measured 1.5× slower
-    # end-to-end in r6). ids is bounded by |docs|, so it is tiny.
+    # joins to drop it. The r6 eager checkpoint here is GONE (one job
+    # barrier less per call): it guarded against the caller's candidate
+    # plan being spliced into the doc lineage and re-executed per
+    # gram-explode reference — but the gram table below is materialized
+    # exactly ONCE now, so the splice executes once by construction.
     ids = (pairs.select(F.col("id_a").alias(id_col))
            .unionByName(pairs.select(F.col("id_b").alias(id_col)))
-           .distinct().localCheckpoint(eager=True))
+           .distinct())
     # spread the per-pair work across the cluster BEFORE the heavy phase:
     # candidate-pair lists arrive from materialization points whose
     # partitioning reflects their (tiny) byte size, not their CPU cost —
@@ -620,10 +620,13 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
     at the default). 0 disables (always distribute); at corpus scale a
     big pair list simply exceeds the bound and takes the loop.
     """
-    ne = pairs.limit(driver_edges + 1).count() if driver_edges else None
-    if ne is not None and ne <= driver_edges:
-        rows = pairs.select(F.col(id_a).alias("a"),
-                            F.col(id_b).alias("b")).collect()
+    # ONE bounded job decides the path AND fetches the edges (a separate
+    # count-then-collect would execute the caller's pair plan twice):
+    # len == driver_edges+1 ⇒ the graph exceeds the bound, discard and
+    # take the distributed loop.
+    rows = (pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+            .limit(driver_edges + 1).collect()) if driver_edges else None
+    if rows is not None and len(rows) <= driver_edges:
         parent: dict = {}
 
         def find(x):
@@ -788,11 +791,15 @@ def dedup_corpus(docs: DataFrame, id_col: str = "doc_id",
                                 n=n, num_perm=num_perm, bands=bands,
                                 shingle=shingle, max_bucket=max_bucket) \
         .localCheckpoint(eager=True)
+    # materialized: dedup_keep_canonical's component pass executes its
+    # pair input twice (bounded fetch + fallback) and the final anti-join
+    # references it again — without the checkpoint each execution re-runs
+    # the whole verify. True pairs only, so the materialization is tiny.
     verified = ngram_jaccard_pairs(out, cands, id_col=id_col,
                                    text_col=text_col, n=n, shingle=shingle,
                                    min_jaccard=jaccard_threshold) \
         .where(F.col("jaccard") >= jaccard_threshold) \
-        .select("id_a", "id_b")
+        .select("id_a", "id_b").localCheckpoint(eager=True)
     return dedup_keep_canonical(out, verified, id_col)
 
 
@@ -1006,12 +1013,16 @@ def _dedup_corpus_incremental_locked(spark, increment, store_dir, canon_dir,
             .select(id_col, text_col)
         )
         texts = batch.select(id_col, text_col).unionByName(canon_hit)
+        # materialized (tiny — dropped ids only): BOTH consumers below
+        # (admitted docs, admitted buckets) reference it, and each
+        # checkpoint would otherwise re-run the whole cross-store verify
         dropped = (
             ngram_jaccard_pairs(texts, cands, id_col=id_col,
                                 text_col=text_col, n=n, shingle=shingle,
                                 min_jaccard=jaccard_threshold)
             .where(F.col("jaccard") >= jaccard_threshold)
             .select(F.col("id_a").alias(id_col)).distinct()
+            .localCheckpoint(eager=True)
         )
         admitted = batch.join(dropped, id_col, "left_anti")
         admitted_buckets = buckets.join(

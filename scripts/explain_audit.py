@@ -69,11 +69,12 @@ def main() -> None:
     pages = synth_pages(spark, 50)
     p = plan_of(extract_docs(pages))
     sections.append((
-        "extraction: single mapInPandas stage after salted exchange",
+        "extraction: single Arrow-native Python stage after salted exchange",
         p,
-        ["MapInPandas", "hashpartitioning(xxhash64(url"],
+        ["MapInArrow", "hashpartitioning(xxhash64(url"],
     ))
-    assert p.count("MapInPandas (") == 1, "extraction must be ONE Python stage"
+    assert p.count("MapInArrow (") == 1, "extraction must be ONE Python stage"
+    assert p.count("MapInPandas (") == 0, "extraction is mapInArrow now (r7)"
 
     # 5. simhash: fingerprint pass must be shuffle-free (VERDICT r1 #1)
     from rag_pdf_parser_spark.operators.dedup import simhash
@@ -91,11 +92,13 @@ def main() -> None:
     sections.append((
         "entry flagship: fused extract+chunk, single Python stage, broadcast join",
         entry_plan,
-        ["MapInPandas", "BroadcastHashJoin"],
+        ["MapInArrow", "BroadcastHashJoin"],
     ))
-    # two MapInPandas: the distributed fixture GENERATOR (the table-scan
-    # stand-in; production reads parquet/Iceberg) + ONE extraction stage.
-    assert entry_plan.count("MapInPandas (") == 2, "entry: gen + ONE extract stage"
+    # two Python stages: the distributed fixture GENERATOR (mapInPandas —
+    # the table-scan stand-in; production reads parquet/Iceberg) + ONE
+    # Arrow-native extraction stage (r7).
+    assert entry_plan.count("MapInPandas (") == 1, "entry: ONE generator stage"
+    assert entry_plan.count("MapInArrow (") == 1, "entry: ONE extract stage"
     assert "FlatMapGroupsInPandas" not in entry_plan, "no grouped-map in entry"
 
     # 7. as-of join: union-window formulation — ONE exchange, NO join node
@@ -135,7 +138,7 @@ def main() -> None:
     sections.append((
         "fused extract+chunk, salt=False: zero Exchange",
         plan_of(unsalted),
-        ["MapInPandas"],
+        ["MapInArrow"],
     ))
     assert "Exchange" not in unsalted_exec, "salt=False must not shuffle"
 
@@ -157,9 +160,9 @@ def main() -> None:
     sections.append((
         "bilingual markdown: paragraph-aware fold as native expressions",
         bm_plan,
-        ["MapInPandas"],
+        ["MapInArrow"],
     ))
-    assert bm_plan.count("MapInPandas (") == 1, \
+    assert bm_plan.count("MapInArrow (") == 1, \
         "bilingual markdown: ONE Python stage (the extraction) only"
     assert "FlatMapGroupsInPandas" not in bm_plan
 
