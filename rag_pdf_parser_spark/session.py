@@ -21,12 +21,23 @@ def get_spark(master: str | None = None, app: str = "rag_pdf_parser_spark",
         # ~cores in local mode; a cluster deployment would use 2-3× total cores
         n = master[master.find("[") + 1 : master.find("]")] if "[" in master else "32"
         shuffle_partitions = cpus if n == "*" else int(n)
+    # AQE coalescing is BYTE-based; with parallelismFirst (default true)
+    # the post-shuffle floor is minPartitionSize (1m default) — for
+    # CPU-heavy narrow data (pair lists, gram folds) that still collapses
+    # small stages to 1-2 tasks. Parameterised (guide §2.2/§9): local
+    # default keeps byte-small stages spread; at warehouse scale
+    # partitions are orders of magnitude above either value, so the knob
+    # is inert there — set SPARK_GRAFT_MIN_PARTITION_SIZE=1m to restore
+    # the Spark default.
+    min_part = os.environ.get("SPARK_GRAFT_MIN_PARTITION_SIZE", "64k")
     builder = (
         SparkSession.builder.master(master)
         .appName(app)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+                min_part)
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
