@@ -383,7 +383,8 @@ def jaccard_size_bound_expr(sz_a: Column, sz_b: Column,
 def ngram_jaccard_pairs(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
                         text_col: str = "text", n: int = 5,
                         shingle: str = "char",
-                        min_jaccard: float | None = None) -> DataFrame:
+                        min_jaccard: float | None = None,
+                        broadcast_bytes: int = 256 << 20) -> DataFrame:
     """Exact n-gram Jaccard for candidate pairs (id_a, id_b): explode distinct
     shingles, equi-join on shingle, |∩| / (|A|+|B|-|∩|).
 
@@ -504,8 +505,25 @@ def ngram_jaccard_pairs(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
                 F.col("__sa"), F.col("__sb"), min_jaccard))
             .select("id_a", "id_b")
         )
+    # Join-strategy pick (guide §3.1), decided from a MEASURED bound, not
+    # an estimate: a candidate set big enough to miss the 10 MB
+    # auto-broadcast threshold silently flips both array joins to
+    # sort-merge, and an SMJ ships a full gram ARRAY per PAIR through the
+    # id_b exchange — measured 10× the gram-table bytes at a 50k-doc
+    # corpus. One cheap agg over the materialized gram table bounds its
+    # broadcast size; under `broadcast_bytes` (default 256 MB — guide:
+    # a few hundred MB broadcast is fine; both sides broadcast, so the
+    # executor cost is ~2×) the pairs stream through two BroadcastHash
+    # joins and NO array ever crosses an exchange. Above the bound the
+    # SMJ fallback stands (at warehouse scale, slice the pair list and
+    # broadcast per slice — documented, not implemented).
+    n_grams = gtab.agg(F.sum(F.size("__gs"))).collect()[0][0] or 0
+    per_gram = (n + 20) if shingle == "char" else 24
+    fits = n_grams * per_gram <= broadcast_bytes
     ga = gtab.select(F.col("id").alias("id_a"), F.col("__gs").alias("__ga"))
     gb = gtab.select(F.col("id").alias("id_b"), F.col("__gs").alias("__gb"))
+    if fits:
+        ga, gb = F.broadcast(ga), F.broadcast(gb)
     # two-step projection: __ni is referenced twice by the jaccard
     # formula, and size(array_intersect) is non-cheap — staging it as an
     # attribute keeps CollapseProject from inlining (and thus evaluating)
