@@ -1047,11 +1047,17 @@ def _dedup_corpus_incremental_locked(spark, increment, store_dir, canon_dir,
             dropped.withColumnRenamed(id_col, "id"), "id", "left_anti")
     else:
         admitted, admitted_buckets = batch, buckets
-    # materialize before the appends below: both plans read canon_dir /
-    # store_dir, which the appends mutate (the cache-invalidation hazard
-    # documented in plans/pipeline.py)
-    admitted = admitted.localCheckpoint(eager=True)
-    admitted_buckets = admitted_buckets.localCheckpoint(eager=True)
+    # NO eager checkpoint here (r7 — two job barriers removed): the
+    # cache-invalidation hazard the former checkpoints guarded against
+    # (plans read canon_dir / store_dir which the appends below mutate)
+    # cannot occur any more, because every path into `admitted` /
+    # `admitted_buckets` is lineage-cut ABOVE any store/canon read:
+    # `batch` derives from dedup_corpus's checkpointed staging table (the
+    # resume anti-join's canon read is beneath that checkpoint),
+    # `buckets` and `dropped` are checkpointed right where the store
+    # probe / cross-verify results land, and the components table of the
+    # fast path is driver-local. If a future edit re-introduces a
+    # canon/store read below those cuts, restore the checkpoints.
     # commit-point validation before publishing (same rule as the
     # pipeline): a stolen-stale lease must abort here, not interleave its
     # appends with the new owner's
