@@ -437,6 +437,18 @@ def ngram_jaccard_pairs(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
     bounded by the pipeline's MAX_HTML_BYTES-capped doc sizes."""
     if shingle not in ("char", "word"):
         raise ValueError(f"shingle must be 'char' or 'word', got {shingle!r}")
+    # PRECONDITION (same discipline as dedup_lines_corpus): `id_col` must
+    # uniquely key `df`. The former exploded-gram formulation silently
+    # UNIONED the grams of duplicate-id rows; the array formulation would
+    # instead emit one output row per duplicate — don't feed it dup ids
+    # (every in-repo caller dedups or reads uniquely-keyed tables first).
+    #
+    # spread a single-task doc scan before the gram-array build (the
+    # same §2.5 guard as the pair side below; no-op for exchange-bearing
+    # or well-partitioned inputs)
+    from .spread import ensure_parallelism
+
+    df = ensure_parallelism(df)
     # restrict the doc side to ids appearing in SOME candidate pair before
     # any text work: a doc in no pair cannot reach the output (every
     # downstream join is inner on pair ids), and at corpus scale the
@@ -517,9 +529,20 @@ def ngram_jaccard_pairs(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
     # joins and NO array ever crosses an exchange. Above the bound the
     # SMJ fallback stands (at warehouse scale, slice the pair list and
     # broadcast per slice — documented, not implemented).
-    n_grams = gtab.agg(F.sum(F.size("__gs"))).collect()[0][0] or 0
-    per_gram = (n + 20) if shingle == "char" else 24
-    fits = n_grams * per_gram <= broadcast_bytes
+    # measured in BYTES, not characters (a CJK-heavy corpus is 3× bigger
+    # than its char count): payload via octet_length, + 16 B/element of
+    # array/offset overhead. One small job over the materialized table.
+    if shingle == "char":
+        elem_bytes = F.aggregate(
+            F.col("__gs"), F.lit(0).cast("long"),
+            lambda a, x: a + F.coalesce(F.octet_length(x), F.lit(0))
+            .cast("long"))
+    else:
+        elem_bytes = (F.size("__gs") * F.lit(8)).cast("long")
+    stats_row = gtab.agg(F.sum(elem_bytes).alias("b"),
+                         F.sum(F.size("__gs")).alias("c")).collect()[0]
+    est_bytes = (stats_row["b"] or 0) + 16 * (stats_row["c"] or 0)
+    fits = est_bytes <= broadcast_bytes
     ga = gtab.select(F.col("id").alias("id_a"), F.col("__gs").alias("__ga"))
     gb = gtab.select(F.col("id").alias("id_b"), F.col("__gs").alias("__gb"))
     if fits:
@@ -528,11 +551,18 @@ def ngram_jaccard_pairs(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
     # formula, and size(array_intersect) is non-cheap — staging it as an
     # attribute keeps CollapseProject from inlining (and thus evaluating)
     # the intersection twice per row (the repetition-chain staging rule).
+    # array_compact strips the NULL gram a NULL-text doc carries (its
+    # array is exactly [NULL] — substr of a NULL string): the former
+    # equi-join could never match a NULL gram, so two NULL-text docs
+    # reported jaccard 0.0, while array_intersect treats NULL elements
+    # as equal and would report 1.0 (r7 review finding). Sizes keep
+    # counting the NULL gram, exactly like the old relational count.
     staged = (
         pairs.join(ga, "id_a").join(gb, "id_b")
         .select(
             "id_a", "id_b",
-            F.size(F.array_intersect("__ga", "__gb")).alias("__ni"),
+            F.size(F.array_intersect(F.array_compact("__ga"),
+                                     F.array_compact("__gb"))).alias("__ni"),
             (F.size("__ga") + F.size("__gb")).alias("__sab"),
         )
     )
@@ -644,6 +674,12 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
     # take the distributed loop.
     rows = (pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
             .limit(driver_edges + 1).collect()) if driver_edges else None
+    if rows is not None and any(
+            r["a"] is None or r["b"] is None for r in rows):
+        # NULL ids would crash Python's `<` in union-by-min; the
+        # distributed loop tolerates null edges (a null key never joins),
+        # so odd inputs keep their pre-r7 behavior instead of raising
+        rows = None
     if rows is not None and len(rows) <= driver_edges:
         parent: dict = {}
 

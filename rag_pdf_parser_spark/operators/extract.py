@@ -47,6 +47,22 @@ _DOCS_FULL_ARROW = pa.schema(
      for f in DOCS_FULL_SCHEMA.fields])
 
 
+def _append_doc_cols(cols: dict[str, list], url, raw: bytes, d: dict) -> None:
+    """Shared per-row column fill for both Arrow extraction stages (the
+    fused variant adds only `chunks` on top)."""
+    cols["url"].append(url)
+    cols["doc_id"].append(d["doc_id"])
+    cols["charset"].append(d["charset"])
+    cols["failure_code"].append(d["failure_code"])
+    cols["title"].append(d["title"])
+    cols["authors"].append(d["authors"])
+    cols["parser_version"].append(d["parser_version"])
+    cols["n_pages"].append(d["n_pages"])
+    cols["extracted_text"].append(d["extracted_text"])
+    cols["bytes_in"].append(len(raw))
+    cols["blocks"].append(d["blocks"])
+
+
 def _extract_batches(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
     for batch in it:
         urls = batch.column(batch.schema.get_field_index("url")).to_pylist()
@@ -54,18 +70,7 @@ def _extract_batches(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         cols: dict[str, list] = {k: [] for k in _DOC_COLS}
         for url, html in zip(urls, htmls):
             raw = bytes(html) if html is not None else b""
-            d = extract_document(raw)
-            cols["url"].append(url)
-            cols["doc_id"].append(d["doc_id"])
-            cols["charset"].append(d["charset"])
-            cols["failure_code"].append(d["failure_code"])
-            cols["title"].append(d["title"])
-            cols["authors"].append(d["authors"])
-            cols["parser_version"].append(d["parser_version"])
-            cols["n_pages"].append(d["n_pages"])
-            cols["extracted_text"].append(d["extracted_text"])
-            cols["bytes_in"].append(len(raw))
-            cols["blocks"].append(d["blocks"])
+            _append_doc_cols(cols, url, raw, extract_document(raw))
         yield pa.RecordBatch.from_arrays(
             [pa.array(cols[f.name], type=f.type) for f in _DOCS_ARROW],
             schema=_DOCS_ARROW)
@@ -101,22 +106,11 @@ def _extract_full_batches(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBat
         for url, html in zip(urls, htmls):
             raw = bytes(html) if html is not None else b""
             d = extract_document(raw)
-            chunks = [
+            _append_doc_cols(cols, url, raw, d)
+            cols["chunks"].append([
                 {k: c[k] for k in _CHUNK_FIELDS}
                 for c in chunk_blocks(d["blocks"], d["doc_id"])
-            ]
-            cols["url"].append(url)
-            cols["doc_id"].append(d["doc_id"])
-            cols["charset"].append(d["charset"])
-            cols["failure_code"].append(d["failure_code"])
-            cols["title"].append(d["title"])
-            cols["authors"].append(d["authors"])
-            cols["parser_version"].append(d["parser_version"])
-            cols["n_pages"].append(d["n_pages"])
-            cols["extracted_text"].append(d["extracted_text"])
-            cols["bytes_in"].append(len(raw))
-            cols["blocks"].append(d["blocks"])
-            cols["chunks"].append(chunks)
+            ])
         yield pa.RecordBatch.from_arrays(
             [pa.array(cols[f.name], type=f.type) for f in _DOCS_FULL_ARROW],
             schema=_DOCS_FULL_ARROW)

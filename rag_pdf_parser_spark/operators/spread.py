@@ -29,15 +29,30 @@ from pyspark.sql import DataFrame
 def ensure_parallelism(df: DataFrame, factor: int = 1) -> DataFrame:
     """Round-robin-spread `df` to `factor ×` the session's default
     parallelism iff its planned partition count is lower; otherwise the
-    input is returned untouched. The partition probe compiles the plan
-    but runs no job; keyless repartition is retry-deterministic
-    (sort-before-repartition is on by default, SPARK-23207)."""
+    input is returned untouched. Keyless repartition is
+    retry-deterministic (sort-before-repartition is on by default,
+    SPARK-23207).
+
+    The guard only ever probes EXCHANGE-FREE plans (scans, checkpoints,
+    projections): under AQE, `df.rdd` on a plan containing a shuffle or
+    broadcast MATERIALIZES those stages as real hidden jobs at
+    plan-build time — and that work re-runs when the returned DataFrame
+    actually executes (r7 review finding: the curate pipeline's probe
+    re-ran the whole extraction scan). A plan that already contains an
+    Exchange doesn't need this guard anyway: its post-shuffle width is
+    AQE-governed (see session.py's minPartitionSize floor). For
+    exchange-free plans `df.rdd` compiles without running a job, and the
+    partition count it reports (file splits / checkpoint partitions) is
+    exact."""
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism * factor
     try:
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        if "Exchange" in plan:
+            return df
         current = df.rdd.getNumPartitions()
-    except Exception:  # noqa: BLE001 — un-plannable input: leave untouched
-        return df
+    except Exception:  # noqa: BLE001 — un-plannable input (e.g. a
+        return df      # streaming relation): leave untouched
     if current < target:
         return df.repartition(target)
     return df

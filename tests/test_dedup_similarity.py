@@ -375,6 +375,44 @@ def test_connected_components_fast_path_matches_loop(spark):
     assert fast_s == loop_s
 
 
+def test_jaccard_null_and_empty_text_parity(spark):
+    """r7 review regression: the array_intersect formulation must keep
+    the pre-r7 equi-join NULL semantics — a NULL-text doc's single NULL
+    gram matches NOTHING (jaccard 0.0 even against another NULL doc),
+    while two ''-text docs share the ''-gram (1.0)."""
+    from rag_pdf_parser_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = spark.createDataFrame(
+        [(1, None), (2, None), (3, "abcdefgh"), (4, ""), (5, "")],
+        "doc_id long, text string")
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (3, 4), (4, 5)],
+        "id_a long, id_b long")
+    out = {(r["id_a"], r["id_b"]): r["jaccard"]
+           for r in ngram_jaccard_pairs(docs, pairs).collect()}
+    assert out[(1, 2)] == 0.0   # NULL vs NULL
+    assert out[(1, 3)] == 0.0   # NULL vs real
+    assert out[(1, 4)] == 0.0   # NULL vs '' — NULL gram != '' gram
+    assert out[(3, 4)] == 0.0   # real vs ''
+    assert out[(4, 5)] == 1.0   # '' vs '' share the ''-gram
+
+
+def test_ensure_parallelism_skips_exchange_plans(spark):
+    """r7 review regression: the spread guard must return exchange-
+    bearing plans UNTOUCHED (probing .rdd under AQE would execute the
+    upstream shuffle as a hidden job) and must spread an under-parallel
+    exchange-free input."""
+    from rag_pdf_parser_spark.operators.spread import ensure_parallelism
+
+    shuffled = (spark.range(100).groupBy((F.col("id") % 7).alias("k"))
+                .count())
+    assert ensure_parallelism(shuffled) is shuffled
+    narrow = spark.range(50).coalesce(1)
+    spread = ensure_parallelism(narrow)
+    assert spread.rdd.getNumPartitions() \
+        == spark.sparkContext.defaultParallelism
+
+
 def test_decontaminate_respects_n(spark):
     """Regression: the n parameter must thread through to gram construction
     (a benchmark of 3-grams must match docs at 3-gram granularity)."""
